@@ -1,0 +1,162 @@
+"""Distributed joins that carry nested Arrow columns.
+
+Ray's native ``Dataset.join`` delegates to pyarrow's acero hash join,
+which rejects list/struct payload columns — and every joined table in
+this engine carries nested tags/nodes/ways columns (SURVEY.md §1.5).  So
+the engine brings its own join: both sides are tagged and unioned, hash-
+partitioned on the key (``hash(key) % P`` — the same explicit
+partitioning the north rule asks for), and joined *inside* each
+partition with a sorted ``searchsorted`` alignment, which is pure
+numpy/take and therefore supports any column type.
+
+Every join in the reference DAG has one side unique on the key (nodes by
+node_id, complete ways by way_id, relations by rel_id — OsmJoin.java
+:276 ``left.get(0)``, :331/:380 ``right.get(0)``), so the unique-side
+join is the only flavor needed; ``how='inner'`` reproduces the
+reference's semi-join drop semantics (SURVEY.md §2.4).
+
+``ray.data.Dataset.join`` remains the right tool for flat-payload joins
+and is used where applicable (see stages/tiling.py).
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import numpy as np
+import pyarrow as pa
+
+import ray.data
+
+from .grouping import PART_COL, partition_map, with_partition_col
+
+SIDE_COL = "__side"
+
+
+def _null_array(n: int, typ: pa.DataType) -> pa.Array:
+    return pa.nulls(n, typ)
+
+
+def _align(t: pa.Table, schema: pa.Schema) -> pa.Table:
+    cols = []
+    for f in schema:
+        if f.name in t.column_names:
+            col = t.column(f.name)
+            col = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+            if col.type != f.type:
+                col = col.cast(f.type)
+            cols.append(col)
+        else:
+            cols.append(_null_array(t.num_rows, f.type))
+    return pa.Table.from_arrays(cols, schema=schema)
+
+
+def _union_schema(left: pa.Schema, right: pa.Schema, key: str) -> pa.Schema:
+    fields = list(left)
+    names = {f.name for f in left}
+    for f in right:
+        if f.name == key:
+            continue
+        if f.name in names:
+            raise ValueError(f"join column collision: {f.name}")
+        fields.append(f)
+    return pa.schema(fields + [pa.field(SIDE_COL, pa.int8())])
+
+
+def join_on_unique(
+    many: ray.data.Dataset,
+    unique: ray.data.Dataset,
+    key: str,
+    many_schema: pa.Schema,
+    unique_schema: pa.Schema,
+    how: str = "inner",
+    num_parts: int = 64,
+) -> ray.data.Dataset:
+    """Join ``many`` with ``unique`` (unique per ``key``) on ``key``.
+
+    ``how='inner'`` drops many-rows without a match (reference inner-join
+    semantics); ``how='left'`` keeps them with nulls.  Schemas must be
+    passed explicitly (lazy datasets; avoids a blocking schema() call).
+    """
+    full = _union_schema(many_schema, unique_schema, key)
+    many_names = [f.name for f in many_schema if f.name != key]
+    unique_names = [f.name for f in unique_schema if f.name != key]
+
+    def tag(side: int):
+        def _f(t: pa.Table) -> pa.Table:
+            t = t.append_column(SIDE_COL, pa.array(np.full(t.num_rows, side, np.int8)))
+            return _align(t, full)
+
+        return _f
+
+    unioned = many.map_batches(tag(0), batch_format="pyarrow").union(
+        unique.map_batches(tag(1), batch_format="pyarrow")
+    )
+
+    def join_part(t: pa.Table) -> pa.Table:
+        t = t.combine_chunks()
+        side = np.asarray(t.column(SIDE_COL))
+        mt = t.filter(pa.array(side == 0)).combine_chunks()
+        ut = t.filter(pa.array(side == 1)).combine_chunks()
+        mk = np.asarray(mt.column(key))
+        uk = np.asarray(ut.column(key))
+        order = np.argsort(uk, kind="stable")
+        uk_sorted = uk[order]
+        ri = np.searchsorted(uk_sorted, mk)
+        ri_clamped = np.minimum(ri, max(len(uk_sorted) - 1, 0))
+        if len(uk_sorted) == 0:
+            matched = np.zeros(len(mk), dtype=bool)
+        else:
+            matched = uk_sorted[ri_clamped] == mk
+        if how == "inner":
+            m_keep = mt.filter(pa.array(matched))
+            u_take = ut.take(pa.array(order[ri_clamped[matched]]))
+            cols = {key: m_keep.column(key)}
+            for nme in many_names:
+                cols[nme] = m_keep.column(nme)
+            for nme in unique_names:
+                cols[nme] = u_take.column(nme)
+        elif how == "left":
+            u_idx = order[ri_clamped] if len(uk_sorted) else np.zeros(len(mk), np.int64)
+            cols = {key: mt.column(key)}
+            for nme in many_names:
+                cols[nme] = mt.column(nme)
+            matched_pa = pa.array(matched)
+            for nme in unique_names:
+                taken = ut.take(pa.array(u_idx)) if len(uk_sorted) else None
+                col = (
+                    taken.column(nme)
+                    if taken is not None
+                    else _null_array(len(mk), full.field(nme).type)
+                )
+                if isinstance(col, pa.ChunkedArray):
+                    col = col.combine_chunks()
+                cols[nme] = pa.compute.if_else(matched_pa, col, _null_array(len(mk), col.type))
+            # if_else does not support nested types for all versions; guarded in tests
+        else:
+            raise ValueError(how)
+        arrays = []
+        for _, v in cols.items():
+            arrays.append(v.combine_chunks() if isinstance(v, pa.ChunkedArray) else v)
+        return pa.Table.from_arrays(arrays, names=list(cols))
+
+    return partition_map(unioned, [key], num_parts, join_part)
+
+
+def flat_join(
+    left: ray.data.Dataset,
+    right: ray.data.Dataset,
+    on: Sequence[str],
+    how: str = "inner",
+    num_partitions: int = 32,
+) -> ray.data.Dataset:
+    """Ray-native hash join for flat-payload datasets.  Aggregator remote
+    args are overridden so small clusters can't deadlock on actor-pool
+    CPU reservations (observed with num_partitions ≈ num_cpus)."""
+    return left.join(
+        right,
+        join_type=how,
+        num_partitions=num_partitions,
+        on=tuple(on),
+        aggregator_ray_remote_args={"num_cpus": 0.25},
+    )

@@ -1,0 +1,140 @@
+"""Document source + OSM-element span extraction.
+
+The reference streams one bzip2 XML file through ``OsmBlobIterable``
+(OsmBlobIterable.java:44-114), an inherently serial scan.  Here the input
+is a table of interleaved documents whose ``osm_xml`` spans each embed a
+small, self-contained chunk of OSM XML lines — so chunking becomes an
+embarrassingly parallel per-span kernel inside ``map_batches``
+(SURVEY.md §2.1 S2).
+
+Span invariant (BASELINE.json input_hint): extraction produces a *new*
+elements dataset keyed by (doc_id, span_idx, elem_idx) and never mutates
+the source rows, so per-row span-sequence equality on
+(kind, text, media_ref, order) holds trivially; ``span_signature`` lets
+tests assert it through any stage that carries ``spans``.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import re
+
+import pyarrow as pa
+
+import ray.data
+
+from ..schema import ELEMENTS
+
+# fast path: one C-regex scan per span.  Matches a complete element blob —
+# self-closing or with matching close tag.  Equivalent to the line-based
+# reference chunker on well-formed input (asserted in tests).
+_BLOB_RE = re.compile(
+    r"<(node|way|relation)\b[^>]*?(?:/>|>.*?</\1>)",
+    re.DOTALL,
+)
+
+_WS_RE = re.compile(r"\n\s*")
+
+
+def chunk_span_lines(text: str) -> list[str]:
+    """Line-based chunker, semantics ported from OsmBlobIterable.java:44-114.
+
+    Yields one complete <node>/<way>/<relation> blob per element; skips
+    junk lines; concatenates continuation lines without separators (the
+    reference appends raw lines to one StringBuilder) and strips the
+    result.  Divergence (documented): the reference tests the *stripped*
+    line for ``/>`` on nodes but the raw line on ways/relations
+    (OsmBlobIterable.java:64 vs :74,:84); we use the stripped line for all
+    three — they differ only for trailing whitespace on self-closing
+    way/relation lines, which would make the reference lose the blob.
+    """
+    out: list[str] = []
+    lines = text.split("\n")
+    i = 0
+    n = len(lines)
+    while i < n:
+        line = lines[i]
+        stripped = line.strip()
+        kind = None
+        for k in ("node", "way", "relation"):
+            if stripped.startswith(f"<{k}"):
+                kind = k
+                break
+        if kind is None:
+            i += 1
+            continue
+        buf = [line]
+        if not stripped.endswith("/>"):
+            close = f"</{kind}>"
+            while not lines[i].strip().endswith(close):
+                i += 1
+                if i >= n:  # truncated element: reference would StopIteration
+                    buf = None
+                    break
+                buf.append(lines[i])
+        if buf is not None:
+            out.append("".join(buf).strip())
+        i += 1
+    return out
+
+
+def chunk_span_regex(text: str) -> list[str]:
+    """Regex fast-path chunker; blobs normalized like the line chunker
+    (continuation lines joined without their leading newline+indent being
+    collapsed — the reference concatenates raw lines, dropping the '\\n')."""
+    return [_WS_RE.sub(lambda m: m.group(0)[1:], m.group(0)) for m in _BLOB_RE.finditer(text)]
+
+
+def read_documents(path: str, **kwargs) -> ray.data.Dataset:
+    """Read a documents table.  Lance is the intended at-scale format
+    (read_lance); this container has no lance wheel, so parquet is the
+    tested storage with identical schema."""
+    try:  # pragma: no cover - lance not installed in this container
+        import lance  # noqa: F401
+
+        return ray.data.read_lance(path, **kwargs)
+    except ImportError:
+        return ray.data.read_parquet(path, **kwargs)
+
+
+def extract_elements_batch(batch: pa.Table) -> pa.Table:
+    """documents batch → elements batch (ELEMENTS schema)."""
+    doc_ids: list[str] = []
+    span_idxs: list[int] = []
+    elem_idxs: list[int] = []
+    xmls: list[str] = []
+    spans_col = batch.column("spans").to_pylist()
+    ids = batch.column("doc_id").to_pylist()
+    for doc_id, spans in zip(ids, spans_col):
+        if not spans:
+            continue
+        for si, span in enumerate(spans):
+            if span["kind"] != "osm_xml":
+                continue
+            for ei, blob in enumerate(chunk_span_regex(span["text"])):
+                doc_ids.append(doc_id)
+                span_idxs.append(si)
+                elem_idxs.append(ei)
+                xmls.append(blob)
+    return pa.Table.from_pydict(
+        {"doc_id": doc_ids, "span_idx": span_idxs, "elem_idx": elem_idxs, "xml": xmls},
+        schema=ELEMENTS,
+    )
+
+
+def extract_elements(documents: ray.data.Dataset) -> ray.data.Dataset:
+    return documents.map_batches(extract_elements_batch, batch_format="pyarrow")
+
+
+def span_signature(batch: pa.Table) -> list[str]:
+    """Per-row digest of the span sequence (kind, text, media_ref, order) —
+    the invariant every documents-touching stage must preserve."""
+    sigs = []
+    for spans in batch.column("spans").to_pylist():
+        h = hashlib.sha256()
+        for order, s in enumerate(spans or []):
+            h.update(
+                f"{order}\x1f{s['kind']}\x1f{s['text']}\x1f{s['media_ref']}\x1e".encode()
+            )
+        sigs.append(h.hexdigest())
+    return sigs
