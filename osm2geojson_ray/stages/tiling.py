@@ -1,0 +1,241 @@
+"""[EXT] Tiling layer (SURVEY.md §2.9): cell covers, point-in-polygon tile
+assignment, kNN between point features and polygon centroids.
+
+Design per the north rule: stateless vectorized ``map_batches`` for cell
+assignment/covers; the polygon index and the centroid matrix are *small
+sides* broadcast once via ``ray.put`` and materialized per actor in
+``__init__`` (actor-pool stages), never re-shipped per batch; the
+candidate join point→polygon is a flat-payload hash join on cell_id.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+import ray
+import ray.data
+
+from ..functions import cells as C
+from ..functions.geometry import points_in_polygon
+from ..functions.grouping import distinct
+from ..functions.joins import flat_join
+from ..schema import TILES
+
+# ---------------------------------------------------------------------------
+# covers
+# ---------------------------------------------------------------------------
+
+
+def vertex_cells_batch(batch: pa.Table, res: int) -> pa.Table:
+    """Distinct cells of every geometry vertex — the SQL-checkable cover."""
+    xs_col = batch.column("xs").combine_chunks()
+    ys_col = batch.column("ys").combine_chunks()
+    lens = np.asarray(xs_col.value_lengths().fill_null(0), dtype=np.int64)
+    fid = np.repeat(np.asarray(batch.column("feature_id").to_pandas(), dtype=object), lens)
+    cid = C.cell_ids(np.asarray(xs_col.flatten()), np.asarray(ys_col.flatten()), res)
+    t = pa.table({"feature_id": pa.array(fid, pa.string()), "cell_id": pa.array(cid)})
+    return t.group_by(["feature_id", "cell_id"]).aggregate([]).select(["feature_id", "cell_id"])
+
+
+def vertex_cells(features: ray.data.Dataset, res: int, num_parts: int = 32) -> ray.data.Dataset:
+    pre = features.map_batches(
+        lambda t: vertex_cells_batch(t, res), batch_format="pyarrow"
+    )
+    return distinct(pre, ["feature_id", "cell_id"], num_parts)
+
+
+def polygon_cover_batch(batch: pa.Table, res: int) -> pa.Table:
+    """Full polyfill cover for polygon features (interior + boundary)."""
+    fids = batch.column("feature_id").to_pylist()
+    geom = batch.column("geom_type").to_pylist()
+    xs = batch.column("xs").to_pylist()
+    ys = batch.column("ys").to_pylist()
+    ro = batch.column("ring_offsets").to_pylist()
+    out_f: list[str] = []
+    out_c: list[np.ndarray] = []
+    for i in range(batch.num_rows):
+        if geom[i] not in ("Polygon", "MultiPolygon"):
+            continue
+        cover = C.polygon_cover(
+            np.asarray(xs[i]), np.asarray(ys[i]), np.asarray(ro[i], dtype=np.int64),
+            res, points_in_polygon,
+        )
+        out_f.extend([fids[i]] * len(cover))
+        out_c.append(cover)
+    cid = np.concatenate(out_c) if out_c else np.empty(0, np.int64)
+    return pa.Table.from_pydict(
+        {"feature_id": out_f, "cell_id": cid}, schema=TILES
+    )
+
+
+def polygon_cover(features: ray.data.Dataset, res: int) -> ray.data.Dataset:
+    return features.map_batches(lambda t: polygon_cover_batch(t, res), batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# point-in-polygon tile assignment
+# ---------------------------------------------------------------------------
+
+
+def point_cells_batch(batch: pa.Table, res: int) -> pa.Table:
+    mask = pa.compute.equal(batch.column("geom_type"), "Point")
+    pts = batch.filter(mask)
+    xs = np.asarray(pts.column("xs").combine_chunks().flatten())
+    ys = np.asarray(pts.column("ys").combine_chunks().flatten())
+    return pa.table(
+        {
+            "point_id": pts.column("feature_id"),
+            "px": pa.array(xs),
+            "py": pa.array(ys),
+            "cell_id": pa.array(C.cell_ids(xs, ys, res)),
+        }
+    )
+
+
+def assign_points_to_polygons(
+    points: ray.data.Dataset,
+    polygons: ray.data.Dataset,
+    res: int,
+    num_partitions: int = 16,
+) -> ray.data.Dataset:
+    """(point feature, polygon feature) pairs where the point lies inside
+    the polygon.  Candidates via the flat cell_id hash join of point cells
+    against the polygon polyfill; exact even-odd test afterwards against
+    the polygon geometry held in an actor-pool index."""
+    pt_cells = points.map_batches(lambda t: point_cells_batch(t, res), batch_format="pyarrow")
+    poly_cells = polygon_cover(polygons, res).map_batches(
+        lambda t: t.rename_columns(["polygon_id", "cell_id"]), batch_format="pyarrow"
+    )
+    cands = flat_join(
+        pt_cells, poly_cells, on=("cell_id",), how="inner", num_partitions=num_partitions
+    )
+    # dedup (a point can meet the same polygon through one cell only — cell
+    # ids are unique per polygon — but keep it robust)
+    cands = distinct(cands, ["point_id", "polygon_id", "px", "py"], num_parts=num_partitions)
+
+    polys_ref = ray.put(
+        polygons.select_columns(["feature_id", "xs", "ys", "ring_offsets"]).take_all()
+    )
+
+    class ExactPIP:
+        """Actor-pool stage: polygon geometry index built once per actor
+        from the broadcast ref (never per batch)."""
+
+        def __init__(self) -> None:
+            rows = ray.get(polys_ref)
+            self.index = {
+                r["feature_id"]: (
+                    np.asarray(r["xs"]),
+                    np.asarray(r["ys"]),
+                    np.asarray(r["ring_offsets"], dtype=np.int64),
+                )
+                for r in rows
+            }
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            pids = batch.column("polygon_id").to_pylist()
+            px = np.asarray(batch.column("px").combine_chunks())
+            py = np.asarray(batch.column("py").combine_chunks())
+            keep = np.zeros(batch.num_rows, dtype=bool)
+            order = np.argsort(np.asarray(pids, dtype=object), kind="stable")
+            i = 0
+            while i < len(order):
+                j = i
+                pid = pids[order[i]]
+                while j < len(order) and pids[order[j]] == pid:
+                    j += 1
+                sel = order[i:j]
+                xs, ys, ro = self.index[pid]
+                keep[sel] = points_in_polygon(px[sel], py[sel], xs, ys, ro)
+                i = j
+            return batch.filter(pa.array(keep)).select(["point_id", "polygon_id"])
+
+    return cands.map_batches(ExactPIP, batch_format="pyarrow", concurrency=(1, 4))
+
+
+# ---------------------------------------------------------------------------
+# kNN: point features → nearest polygon centroids
+# ---------------------------------------------------------------------------
+
+
+def polygon_centroids_batch(batch: pa.Table) -> pa.Table:
+    """Centroid = mean of the stored vertices (flattened xs/ys as carried,
+    including ring-closure duplicates — definition documented for the SQL
+    oracle)."""
+    mask = pa.compute.is_in(
+        batch.column("geom_type"), value_set=pa.array(["Polygon", "MultiPolygon"])
+    )
+    polys = batch.filter(mask)
+    xs_col = polys.column("xs").combine_chunks()
+    ys_col = polys.column("ys").combine_chunks()
+    lens = np.asarray(xs_col.value_lengths().fill_null(0), dtype=np.float64)
+    xsum = np.add.reduceat(np.asarray(xs_col.flatten(), np.float64), np.insert(np.cumsum(lens[:-1]).astype(np.int64), 0, 0)) if polys.num_rows else np.empty(0)
+    ysum = np.add.reduceat(np.asarray(ys_col.flatten(), np.float64), np.insert(np.cumsum(lens[:-1]).astype(np.int64), 0, 0)) if polys.num_rows else np.empty(0)
+    with np.errstate(invalid="ignore"):
+        cx = xsum / lens
+        cy = ysum / lens
+    return pa.table(
+        {
+            "polygon_id": polys.column("feature_id"),
+            "cx": pa.array(cx, pa.float64()),
+            "cy": pa.array(cy, pa.float64()),
+        }
+    )
+
+
+def polygon_centroids(polygons: ray.data.Dataset) -> ray.data.Dataset:
+    return polygons.map_batches(polygon_centroids_batch, batch_format="pyarrow")
+
+
+def knn_points_to_centroids(
+    points: ray.data.Dataset,
+    polygons: ray.data.Dataset,
+    k: int = 2,
+) -> ray.data.Dataset:
+    """Brute-force kNN against the broadcast centroid matrix (small side:
+    one centroid per polygon feature).  Distance = squared euclidean in
+    degree space (SQL-replicable); ties broken by polygon_id.  The
+    cell-ring expanding search in functions/cells.neighbor_ring is the
+    documented scale path when the centroid side outgrows a broadcast."""
+    cents = polygon_centroids(polygons).take_all()
+    ids = [r["polygon_id"] for r in cents]
+    order = np.argsort(np.asarray(ids, dtype=object), kind="stable")
+    cid_sorted = [ids[i] for i in order]
+    cmat = np.asarray([[cents[i]["cx"], cents[i]["cy"]] for i in order], dtype=np.float64)
+    bref = ray.put((cid_sorted, cmat))
+
+    class KnnBatch:
+        def __init__(self) -> None:
+            self.cids, self.cmat = ray.get(bref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            mask = pa.compute.equal(batch.column("geom_type"), "Point")
+            pts = batch.filter(mask)
+            if pts.num_rows == 0 or len(self.cids) == 0:
+                return pa.table(
+                    {"point_id": pa.array([], pa.string()),
+                     "polygon_id": pa.array([], pa.string()),
+                     "rank": pa.array([], pa.int32())}
+                )
+            px = np.asarray(pts.column("xs").combine_chunks().flatten())
+            py = np.asarray(pts.column("ys").combine_chunks().flatten())
+            dx = px[:, None] - self.cmat[None, :, 0]
+            dy = py[:, None] - self.cmat[None, :, 1]
+            d2 = dx * dx + dy * dy
+            kk = min(k, d2.shape[1])
+            idx = np.argsort(d2, axis=1, kind="stable")[:, :kk]  # ties → lower index = lower id
+            pid = pts.column("feature_id").to_pylist()
+            out_p, out_g, out_r = [], [], []
+            for i in range(len(pid)):
+                for r in range(kk):
+                    out_p.append(pid[i])
+                    out_g.append(self.cids[idx[i, r]])
+                    out_r.append(r + 1)
+            return pa.table(
+                {"point_id": pa.array(out_p, pa.string()),
+                 "polygon_id": pa.array(out_g, pa.string()),
+                 "rank": pa.array(out_r, pa.int32())}
+            )
+
+    return points.map_batches(KnnBatch, batch_format="pyarrow", concurrency=(1, 4))

@@ -1,0 +1,109 @@
+"""Cell grid + cover + PIP + kNN tests (SURVEY.md §2.9 [EXT])."""
+
+import numpy as np
+import pyarrow as pa
+
+import ray.data as rd
+
+from osm2geojson_ray.functions import cells as C
+from osm2geojson_ray.functions.geometry import points_in_polygon
+from osm2geojson_ray.schema import FEATURES
+from osm2geojson_ray.stages.tiling import (
+    assign_points_to_polygons,
+    knn_points_to_centroids,
+    polygon_centroids_batch,
+    vertex_cells,
+)
+
+
+def test_cell_ids_roundtrip():
+    lon = np.array([-180.0, 0.0, 179.99, 13.4])
+    lat = np.array([-90.0, 0.0, 89.99, 52.5])
+    for res in (0, 5, 15):
+        cid = C.cell_ids(lon, lat, res)
+        r, ix, iy = C.cell_components(cid)
+        assert (r == res).all()
+        assert (ix >= 0).all() and (ix < (1 << res)).all()
+        cx, cy = C.cell_center(cid)
+        w, h = C.cell_size_deg(res)
+        assert (np.abs(cx - lon) <= w).all() and (np.abs(cy - lat) <= h).all()
+
+
+def test_cell_ids_edge_clamp():
+    cid = C.cell_ids(np.array([180.0]), np.array([90.0]), 10)
+    _, ix, iy = C.cell_components(cid)
+    assert ix[0] == (1 << 10) - 1 and iy[0] == (1 << 10) - 1
+
+
+def test_neighbor_ring():
+    cid = int(C.cell_ids(np.array([0.0]), np.array([0.0]), 8)[0])
+    ring1 = C.neighbor_ring(cid, 1)
+    assert len(ring1) == 9 and cid in ring1.tolist()
+
+
+def test_polygon_cover_contains_interior_points():
+    xs = np.array([0.0, 3.0, 3.0, 0.0, 0.0])
+    ys = np.array([0.0, 0.0, 3.0, 3.0, 0.0])
+    res = 10
+    cover = set(C.polygon_cover(xs, ys, np.array([0]), res, points_in_polygon).tolist())
+    rng = np.random.RandomState(7)
+    px = rng.uniform(0.01, 2.99, 200)
+    py = rng.uniform(0.01, 2.99, 200)
+    pc_ids = C.cell_ids(px, py, res)
+    assert set(pc_ids.tolist()) <= cover
+
+
+def _feat(fid, gtype, xs, ys, ro=(0,), po=(0,)):
+    return {
+        "feature_id": fid, "osm_type": "way", "osm_id": 1, "title": fid,
+        "geom_type": gtype, "xs": list(xs), "ys": list(ys),
+        "ring_offsets": list(ro), "poly_offsets": list(po),
+        "categories": ["building"], "address": [], "names": [], "links": [],
+    }
+
+
+def test_vertex_cells_distinct():
+    t = pa.Table.from_pylist(
+        [_feat("a", "LineString", [0.0, 0.0, 50.0], [0.0, 0.0, 50.0])], schema=FEATURES
+    )
+    out = vertex_cells(rd.from_arrow(t), 10, num_parts=4).take_all()
+    assert len(out) == 2  # duplicate vertex cell deduped
+
+
+def test_pip_assignment_and_knn():
+    polys = pa.Table.from_pylist(
+        [
+            _feat("poly/1", "Polygon", [0, 4, 4, 0, 0], [0, 0, 4, 4, 0]),
+            _feat("poly/2", "Polygon", [10, 14, 14, 10, 10], [10, 10, 14, 14, 10]),
+        ],
+        schema=FEATURES,
+    )
+    points = pa.Table.from_pylist(
+        [
+            _feat("pt/in1", "Point", [2.0], [2.0]),
+            _feat("pt/in2", "Point", [11.0], [13.0]),
+            _feat("pt/out", "Point", [7.0], [7.0]),
+        ],
+        schema=FEATURES,
+    )
+    pairs = assign_points_to_polygons(
+        rd.from_arrow(points), rd.from_arrow(polys), res=8, num_partitions=4
+    ).take_all()
+    got = sorted((r["point_id"], r["polygon_id"]) for r in pairs)
+    assert got == [("pt/in1", "poly/1"), ("pt/in2", "poly/2")]
+
+    knn = knn_points_to_centroids(rd.from_arrow(points), rd.from_arrow(polys), k=2).take_all()
+    by_pt = {}
+    for r in knn:
+        by_pt.setdefault(r["point_id"], []).append((r["rank"], r["polygon_id"]))
+    assert sorted(by_pt["pt/in1"]) == [(1, "poly/1"), (2, "poly/2")]
+    assert sorted(by_pt["pt/in2"]) == [(1, "poly/2"), (2, "poly/1")]
+
+
+def test_centroid_definition():
+    t = pa.Table.from_pylist(
+        [_feat("p", "Polygon", [0, 2, 2, 0, 0], [0, 0, 2, 2, 0])], schema=FEATURES
+    )
+    c = polygon_centroids_batch(t).to_pylist()[0]
+    # mean over stored vertices incl. closing dup: (0+2+2+0+0)/5, (0+0+2+2+0)/5
+    assert c["cx"] == 0.8 and c["cy"] == 0.8
