@@ -1,16 +1,11 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
-
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+``entry()`` runs the flagship pipeline (interleaved documents → parse →
+join DAG → features) on the corpus derived from sf0.001;
+``queries()``/``oracle_sql()`` expose every implemented operator from
+SURVEY.md §2 with DuckDB oracles (full-chain SQL re-derivations over the
+same parquet bytes).  Ray is initialised by the driver — nothing here
+calls ray.init()/ray.shutdown().
 """
 
 from __future__ import annotations
@@ -18,27 +13,44 @@ from __future__ import annotations
 from collections.abc import Callable
 from typing import Any
 
+_SF001 = "/root/testdata/sf0.001"
+_SF01 = "/root/testdata/sf0.01"
+
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship pipeline on the sf0.001-derived corpus; returns the
+    feature table (Dataset)."""
+    from osm2geojson_ray import synth
+    from osm2geojson_ray.pipelines.osm import OsmPipelineConfig, run_flagship
+
+    path = synth.ensure_corpus_for_sf(_SF001)
+    out = run_flagship(path, OsmPipelineConfig(num_parts=16), with_tiles=False)
+    return out["features"]
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    from osm2geojson_ray.pipelines.queries import OSM_QUERIES
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    q: dict[str, Callable[[str], Any]] = dict(OSM_QUERIES)
+    try:
+        from osm2geojson_ray.pipelines.training import TRAINING_QUERIES
+
+        q.update(TRAINING_QUERIES)
+    except ImportError:
+        pass
+    return q
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from osm2geojson_ray import synth
+    from osm2geojson_ray.pipelines.queries import oracle_queries
+
+    corpus = synth.ensure_corpus_for_sf(_SF01)
+    sql = oracle_queries(corpus)
+    try:
+        from osm2geojson_ray.pipelines.training import TRAINING_ORACLES
+
+        sql.update(TRAINING_ORACLES)
+    except ImportError:
+        pass
+    return sql

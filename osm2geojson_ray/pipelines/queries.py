@@ -1,0 +1,697 @@
+"""Query registry: every operator exposed as a (Ray pipeline, DuckDB
+oracle SQL) pair for the driver's correctness gate (__ray_entry__).
+
+The OSM queries run over the deterministic synthetic interleaved-document
+corpus derived from the sf dir (synth.ensure_corpus_for_sf); the oracle
+SQL re-derives the same results from the *same parquet bytes* with
+DuckDB regexp/list functions — full-chain checks from raw XML text
+through parse, join, feature and tiling semantics.
+
+Output contracts (names AND types) are pinned on both sides: ids/counts
+BIGINT, coords DOUBLE, strings VARCHAR.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray.data
+
+from .. import synth
+from ..functions import cells as C
+from ..functions.grouping import distinct
+from ..sources.documents import extract_elements, read_documents
+from ..stages import join as J
+from ..stages import parse as P
+from ..stages.postprocess import poi_features, way_features
+from ..stages.rings import relation_features
+from ..stages.tiling import knn_points_to_centroids, vertex_cells
+
+TILE_RES = 15
+KNN_K = 2
+
+# ---------------------------------------------------------------------------
+# cached core graph per sf_dir (materialized once, reused by every query)
+# ---------------------------------------------------------------------------
+
+_CACHE: dict[tuple[str, str], ray.data.Dataset] = {}
+
+
+def _core(sf_dir: str, name: str) -> ray.data.Dataset:
+    key = (sf_dir, name)
+    if key in _CACHE:
+        return _CACHE[key]
+
+    def mat(n: str, ds: ray.data.Dataset) -> ray.data.Dataset:
+        got = _CACHE.get((sf_dir, n))
+        if got is None:
+            got = _CACHE[(sf_dir, n)] = ds.materialize()
+        return got
+
+    corpus = synth.ensure_corpus_for_sf(sf_dir)
+    docs = read_documents(corpus)
+    if name == "documents":
+        return mat("documents", docs)
+    elements = mat("elements", extract_elements(docs))
+    if name == "elements":
+        return elements
+    if name in ("nodes", "ways", "relations", "rejects"):
+        return mat(name, {
+            "nodes": P.parse_nodes,
+            "ways": P.parse_ways,
+            "relations": P.parse_relations,
+            "rejects": P.parse_rejects,
+        }[name](elements))
+    nodes = _core(sf_dir, "nodes")
+    ways = _core(sf_dir, "ways")
+    rels = _core(sf_dir, "relations")
+    if name == "complete_ways":
+        wn = J.j1_way_nodes(nodes, P.way_edges(ways), num_parts=16)
+        return mat("complete_ways", J.j2_complete_ways(ways, wn, num_parts=16))
+    if name == "complete_relations":
+        rn = J.j3_rel_nodes(nodes, P.node_rel_edges(rels), num_parts=16)
+        rwn = J.j4_rel_with_nodes(rels, rn, num_parts=16)
+        rw = J.j5_rel_ways(_core(sf_dir, "complete_ways"), P.way_rel_edges(rels), num_parts=16)
+        return mat("complete_relations", J.j6_complete_relations(rwn, rw, num_parts=16))
+    if name == "poi_features":
+        return mat("poi_features", poi_features(nodes))
+    if name == "way_features":
+        return mat("way_features", way_features(_core(sf_dir, "complete_ways")))
+    if name == "relation_features":
+        return mat("relation_features", relation_features(_core(sf_dir, "complete_relations")))
+    raise KeyError(name)
+
+
+def clear_cache() -> None:
+    _CACHE.clear()
+
+
+# ---------------------------------------------------------------------------
+# engine-side queries (each: sf_dir -> Dataset with pinned flat schema)
+# ---------------------------------------------------------------------------
+
+
+def q_span_stats(sf_dir: str) -> ray.data.Dataset:
+    def explode(t: pa.Table) -> pa.Table:
+        spans = t.column("spans").combine_chunks()
+        lens = np.asarray(spans.value_lengths().fill_null(0), dtype=np.int64)
+        doc = np.repeat(np.asarray(t.column("doc_id").to_pandas(), dtype=object), lens)
+        flat = spans.flatten()
+        span_idx = np.concatenate([np.arange(n) for n in lens]) if lens.sum() else np.empty(0, np.int64)
+        return pa.table(
+            {
+                "doc_id": pa.array(doc, pa.string()),
+                "span_idx": pa.array(span_idx, pa.int64()),
+                "kind": flat.field("kind"),
+                "media_ref": flat.field("media_ref"),
+                "n_chars": pc.utf8_length(flat.field("text")).cast(pa.int64()),
+            }
+        )
+
+    return _core(sf_dir, "documents").map_batches(explode, batch_format="pyarrow")
+
+
+def _tag_value(tags_list: list[dict], key: str) -> str:
+    for t in tags_list:
+        if t["key"] == key:
+            return t["value"]
+    return ""
+
+
+def q_parse_nodes(sf_dir: str) -> ray.data.Dataset:
+    def f(t: pa.Table) -> pa.Table:
+        tags = t.column("tags").to_pylist()
+        return pa.table(
+            {
+                "node_id": t.column("node_id"),
+                "lon": t.column("lon"),
+                "lat": t.column("lat"),
+                "n_tags": pc.list_value_length(t.column("tags").combine_chunks()).cast(pa.int64()),
+                "name": pa.array([_tag_value(x, "name") for x in tags], pa.string()),
+            }
+        )
+
+    return _core(sf_dir, "nodes").map_batches(f, batch_format="pyarrow")
+
+
+def q_parse_ways(sf_dir: str) -> ray.data.Dataset:
+    def f(t: pa.Table) -> pa.Table:
+        ns = t.column("ns").combine_chunks()
+        tags = t.column("tags").to_pylist()
+        first = pc.list_element(ns, 0)
+        ns_py = ns.to_pylist()
+        last = pa.array([x[-1] if x else None for x in ns_py], pa.int64())
+        return pa.table(
+            {
+                "way_id": t.column("way_id"),
+                "n_nds": pc.list_value_length(ns).cast(pa.int64()),
+                "first_nd": first,
+                "last_nd": last,
+                "name": pa.array([_tag_value(x, "name") for x in tags], pa.string()),
+            }
+        )
+
+    return _core(sf_dir, "ways").map_batches(f, batch_format="pyarrow")
+
+
+def q_parse_relations(sf_dir: str) -> ray.data.Dataset:
+    def f(t: pa.Table) -> pa.Table:
+        members = t.column("members").to_pylist()
+        n_way = [sum(1 for m in ms if m["type"].lower() == "way") for ms in members]
+        n_node = [sum(1 for m in ms if m["type"].lower() == "node") for ms in members]
+        return pa.table(
+            {
+                "rel_id": t.column("rel_id"),
+                "n_members": pc.list_value_length(t.column("members").combine_chunks()).cast(pa.int64()),
+                "n_way_members": pa.array(n_way, pa.int64()),
+                "n_node_members": pa.array(n_node, pa.int64()),
+            }
+        )
+
+    return _core(sf_dir, "relations").map_batches(f, batch_format="pyarrow")
+
+
+def q_edges_node_way(sf_dir: str) -> ray.data.Dataset:
+    edges = P.way_edges(_core(sf_dir, "ways")).map_batches(
+        lambda t: t.select(["node_id", "way_id"]), batch_format="pyarrow"
+    )
+    return distinct(edges, ["node_id", "way_id"], num_parts=16)
+
+
+def q_j1_way_nodes(sf_dir: str) -> ray.data.Dataset:
+    cw = _core(sf_dir, "complete_ways")
+
+    def explode(t: pa.Table) -> pa.Table:
+        nodes = t.column("nodes").combine_chunks()
+        lens = np.asarray(nodes.value_lengths().fill_null(0), dtype=np.int64)
+        wid = np.repeat(np.asarray(t.column("way_id")), lens)
+        flat = nodes.flatten()
+        return pa.table(
+            {
+                "way_id": pa.array(wid, pa.int64()),
+                "node_id": flat.field("id"),
+                "lon": flat.field("lon"),
+                "lat": flat.field("lat"),
+            }
+        )
+
+    return distinct(
+        cw.map_batches(explode, batch_format="pyarrow"),
+        ["way_id", "node_id", "lon", "lat"],
+        num_parts=16,
+    )
+
+
+def q_j2_way_nodes(sf_dir: str) -> ray.data.Dataset:
+    cw = _core(sf_dir, "complete_ways")
+
+    def explode(t: pa.Table) -> pa.Table:
+        nodes = t.column("nodes").combine_chunks()
+        lens = np.asarray(nodes.value_lengths().fill_null(0), dtype=np.int64)
+        wid = np.repeat(np.asarray(t.column("way_id")), lens)
+        seq = np.concatenate([np.arange(n) for n in lens]) if lens.sum() else np.empty(0, np.int64)
+        flat = nodes.flatten()
+        return pa.table(
+            {
+                "way_id": pa.array(wid, pa.int64()),
+                "seq": pa.array(seq, pa.int64()),
+                "node_id": flat.field("id"),
+                "lon": flat.field("lon"),
+                "lat": flat.field("lat"),
+            }
+        )
+
+    return cw.map_batches(explode, batch_format="pyarrow")
+
+
+def q_j2_missing(sf_dir: str) -> ray.data.Dataset:
+    cw = _core(sf_dir, "complete_ways")
+
+    def explode(t: pa.Table) -> pa.Table:
+        miss = t.column("missing_node_refs").combine_chunks()
+        lens = np.asarray(miss.value_lengths().fill_null(0), dtype=np.int64)
+        wid = np.repeat(np.asarray(t.column("way_id")), lens)
+        seq = np.concatenate([np.arange(n) for n in lens]) if lens.sum() else np.empty(0, np.int64)
+        return pa.table(
+            {
+                "way_id": pa.array(wid, pa.int64()),
+                "seq": pa.array(seq, pa.int64()),
+                "node_id": miss.flatten(),
+            }
+        )
+
+    return cw.map_batches(explode, batch_format="pyarrow")
+
+
+def q_j6_rel_summary(sf_dir: str) -> ray.data.Dataset:
+    cr = _core(sf_dir, "complete_relations")
+
+    def f(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "rel_id": t.column("rel_id"),
+                "n_nodes": pc.list_value_length(t.column("nodes").combine_chunks()).cast(pa.int64()),
+                "n_ways": pc.list_value_length(t.column("ways").combine_chunks()).cast(pa.int64()),
+            }
+        )
+
+    return cr.map_batches(f, batch_format="pyarrow")
+
+
+def _explode_categories(t: pa.Table, extra: dict[str, pa.Array]) -> pa.Table:
+    cats = t.column("categories").combine_chunks()
+    lens = np.asarray(cats.value_lengths().fill_null(0), dtype=np.int64)
+    cols = {}
+    for name, arr in extra.items():
+        arr = arr.combine_chunks() if isinstance(arr, pa.ChunkedArray) else arr
+        cols[name] = arr.take(pa.array(np.repeat(np.arange(len(lens)), lens)))
+    cols["category"] = cats.flatten()
+    return pa.table(cols)
+
+
+def q_features_points(sf_dir: str) -> ray.data.Dataset:
+    pf = _core(sf_dir, "poi_features")
+
+    def f(t: pa.Table) -> pa.Table:
+        xs = t.column("xs").combine_chunks()
+        ys = t.column("ys").combine_chunks()
+        return _explode_categories(
+            t,
+            {
+                "feature_id": t.column("feature_id"),
+                "title": t.column("title"),
+                "lon": pc.list_element(xs, 0) if t.num_rows else pa.array([], pa.float64()),
+                "lat": pc.list_element(ys, 0) if t.num_rows else pa.array([], pa.float64()),
+            },
+        )
+
+    return pf.map_batches(f, batch_format="pyarrow")
+
+
+def q_features_ways(sf_dir: str) -> ray.data.Dataset:
+    wf = _core(sf_dir, "way_features")
+
+    def f(t: pa.Table) -> pa.Table:
+        return _explode_categories(
+            t,
+            {
+                "feature_id": t.column("feature_id"),
+                "title": t.column("title"),
+                "geom_type": t.column("geom_type"),
+                "n_coords": pc.list_value_length(t.column("xs").combine_chunks()).cast(pa.int64()),
+            },
+        )
+
+    return wf.map_batches(f, batch_format="pyarrow")
+
+
+def q_tiles_cover(sf_dir: str) -> ray.data.Dataset:
+    feats = _core(sf_dir, "poi_features").union(_core(sf_dir, "way_features"))
+    return vertex_cells(feats, TILE_RES, num_parts=16)
+
+
+def q_knn(sf_dir: str) -> ray.data.Dataset:
+    points = _core(sf_dir, "poi_features")
+    polys = _core(sf_dir, "way_features").map_batches(
+        lambda t: t.filter(pc.equal(t["geom_type"], "Polygon")), batch_format="pyarrow"
+    )
+    out = knn_points_to_centroids(points, polys, k=KNN_K)
+    return out.map_batches(
+        lambda t: pa.table(
+            {
+                "point_id": t.column("point_id"),
+                "polygon_id": t.column("polygon_id"),
+                "rnk": t.column("rank").cast(pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
+# rows-only checks (not SQL-expressible: iterative stitching / ray casting)
+
+
+def q_relation_features(sf_dir: str) -> ray.data.Dataset:
+    rf = _core(sf_dir, "relation_features")
+
+    def f(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "feature_id": t.column("feature_id"),
+                "title": t.column("title"),
+                "geom_type": t.column("geom_type"),
+                "n_rings": pc.list_value_length(t.column("ring_offsets").combine_chunks()).cast(pa.int64()),
+                "n_vertices": pc.list_value_length(t.column("xs").combine_chunks()).cast(pa.int64()),
+            }
+        )
+
+    return rf.map_batches(f, batch_format="pyarrow")
+
+
+def q_pip(sf_dir: str) -> ray.data.Dataset:
+    from ..stages.tiling import assign_points_to_polygons
+
+    points = _core(sf_dir, "poi_features")
+    polys = _core(sf_dir, "way_features").map_batches(
+        lambda t: t.filter(pc.equal(t["geom_type"], "Polygon")), batch_format="pyarrow"
+    ).union(_core(sf_dir, "relation_features"))
+    return assign_points_to_polygons(points, polys, res=TILE_RES, num_partitions=8)
+
+
+def q_rejects(sf_dir: str) -> ray.data.Dataset:
+    return _core(sf_dir, "rejects").map_batches(
+        lambda t: t.select(["doc_id", "span_idx", "kind", "reason"]),
+        batch_format="pyarrow",
+    )
+
+
+# ---------------------------------------------------------------------------
+# DuckDB oracle SQL
+# ---------------------------------------------------------------------------
+
+_UNESC_ENTITIES = [("&lt;", "<"), ("&gt;", ">"), ("&quot;", '"'), ("&apos;", "''"), ("&amp;", "&")]
+
+
+def _sql_unescape(expr: str) -> str:
+    # single-pass-equivalent on the generator's entity inventory (no nested
+    # escapes emitted); &#233; handled explicitly, &amp; replaced last.
+    out = expr
+    out = f"replace({out}, '&#233;', chr(233))"
+    for ent, ch in _UNESC_ENTITIES:
+        out = f"replace({out}, '{ent}', '{ch}')"
+    return out
+
+
+def _tagv(key: str) -> str:
+    return f"regexp_extract(xml, 'k=\"{key}\"\\s+v=\"(.*?)\"', 1)"
+
+
+def _cell_expr(lon: str, lat: str, res: int) -> str:
+    s = f"{float(1 << res):.1f}"
+    smax = f"{float((1 << res) - 1):.1f}"
+    ix = f"CAST(least(greatest(floor(({lon} + 180.0) / 360.0 * {s}), 0.0), {smax}) AS BIGINT)"
+    iy = f"CAST(least(greatest(floor(({lat} + 90.0) / 180.0 * {s}), 0.0), {smax}) AS BIGINT)"
+    return f"(CAST({res} AS BIGINT) * 288230376151711744 + {ix} * 536870912 + {iy})"
+
+
+def _cats_expr(tagv) -> str:
+    """The §2.8 rule set as a SQL list expression."""
+    whitelist = ["leisure", "amenity", "natural", "historic", "cuisine",
+                 "tourism", "shop", "building", "admin-level"]
+    items = [
+        f"CASE WHEN {tagv('highway')} <> '' THEN 'street' END",
+        f"CASE WHEN {tagv('highway')} <> '' THEN 'highway:' || {tagv('highway')} END",
+    ]
+    for k in whitelist:
+        items.append(f"CASE WHEN {tagv(k)} <> '' THEN '{k}:' || {tagv(k)} END")
+    items.append(
+        f"CASE WHEN lower({tagv('building')}) = 'yes' THEN "
+        f"(CASE WHEN lower({tagv('amenity')}) = 'public_building' THEN 'public-building' ELSE 'building' END) END"
+    )
+    items.append(f"CASE WHEN lower({tagv('railway')}) = 'tram_stop' THEN 'tram-stop' END")
+    items.append(f"CASE WHEN lower({tagv('railway')}) = 'station' THEN 'train-station' END")
+    items.append(f"CASE WHEN lower({tagv('railway')}) = 'halt' THEN 'train-station' END")
+    items.append(f"CASE WHEN lower({tagv('station')}) = 'light_rail' THEN 'light-rail-station' END")
+    items.append(
+        f"CASE WHEN lower({tagv('public_transport')}) = 'stop_position' THEN "
+        f"(CASE WHEN lower({tagv('light_rail')}) = 'yes' THEN 'light-rail-station' "
+        f"WHEN lower({tagv('bus')}) = 'yes' THEN 'bus-stop' "
+        f"WHEN lower({tagv('railway')}) = 'halt' THEN 'train-station' END) END"
+    )
+    lst = ",\n      ".join(items)
+    return f"list_distinct(list_filter([\n      {lst}\n    ], x -> x IS NOT NULL))"
+
+
+def _base_ctes(corpus: str) -> str:
+    id_re = "'id=\"([0-9]+)'"
+    lat_re = "'lat=\"(-?[0-9]+(?:\\.[0-9]+)?)'"
+    lon_re = "'lon=\"(-?[0-9]+(?:\\.[0-9]+)?)'"
+    return f"""
+raw AS (SELECT doc_id, spans FROM read_parquet('{corpus}/*.parquet')),
+sp AS (
+  SELECT doc_id, generate_subscripts(spans, 1) - 1 AS span_idx,
+         unnest(spans, recursive := true)
+  FROM raw
+),
+frags AS (SELECT doc_id, span_idx, text AS ftext FROM sp WHERE kind = 'osm_xml'),
+blobs AS (
+  SELECT doc_id, span_idx, unnest(
+      regexp_extract_all(ftext, '(?s)<node\\b[^>]*?(?:/>|>.*?</node>)')
+   || regexp_extract_all(ftext, '(?s)<way\\b[^>]*?(?:/>|>.*?</way>)')
+   || regexp_extract_all(ftext, '(?s)<relation\\b[^>]*?(?:/>|>.*?</relation>)')
+  ) AS xml
+  FROM frags
+),
+nodes AS (
+  SELECT CAST(regexp_extract(xml, {id_re}, 1) AS BIGINT) AS node_id,
+         CAST(regexp_extract(xml, {lon_re}, 1) AS DOUBLE) AS lon,
+         CAST(regexp_extract(xml, {lat_re}, 1) AS DOUBLE) AS lat,
+         xml
+  FROM blobs
+  WHERE xml LIKE '<node%'
+    AND regexp_extract(xml, {id_re}, 1) <> ''
+    AND regexp_extract(xml, {lat_re}, 1) <> ''
+    AND regexp_extract(xml, {lon_re}, 1) <> ''
+),
+ways AS (
+  SELECT CAST(regexp_extract(xml, {id_re}, 1) AS BIGINT) AS way_id,
+         regexp_extract_all(xml, 'nd ref="([0-9]+)', 1) AS nds,
+         xml
+  FROM blobs
+  WHERE xml LIKE '<way%' AND regexp_extract(xml, {id_re}, 1) <> ''
+),
+rels AS (
+  SELECT CAST(regexp_extract(xml, {id_re}, 1) AS BIGINT) AS rel_id,
+         regexp_extract_all(xml, 'member type="(.*?)" ref="([0-9]+)" role="(.*?)"', 1) AS mtypes,
+         regexp_extract_all(xml, 'member type="(.*?)" ref="([0-9]+)" role="(.*?)"', 2) AS mrefs,
+         xml
+  FROM blobs
+  WHERE xml LIKE '<relation%' AND regexp_extract(xml, {id_re}, 1) <> ''
+),
+way_nd AS (
+  SELECT way_id, generate_subscripts(nds, 1) - 1 AS pos,
+         CAST(unnest(nds) AS BIGINT) AS node_id
+  FROM ways
+),
+resolved AS (
+  SELECT e.way_id, e.pos, e.node_id, n.lon, n.lat
+  FROM way_nd e JOIN nodes n USING (node_id)
+)
+""".strip()
+
+
+def oracle_queries(corpus: str) -> dict[str, str]:
+    B = _base_ctes(corpus)
+    node_name = _sql_unescape(_tagv("name"))
+    way_name = _tagv("name")  # raw: way tag values are NOT unescaped
+    node_cats = _cats_expr(lambda k: _sql_unescape(_tagv(k)))
+    way_cats = _cats_expr(_tagv)
+
+    sql: dict[str, str] = {}
+
+    sql["span_stats"] = f"""
+WITH raw AS (SELECT doc_id, spans FROM read_parquet('{corpus}/*.parquet')),
+sp AS (
+  SELECT doc_id, generate_subscripts(spans, 1) - 1 AS span_idx,
+         unnest(spans, recursive := true)
+  FROM raw
+)
+SELECT doc_id, span_idx, kind, media_ref, CAST(length(text) AS BIGINT) AS n_chars FROM sp
+"""
+
+    sql["parse_nodes"] = f"""
+WITH {B}
+SELECT node_id, lon, lat,
+       CAST(len(list_distinct(regexp_extract_all(xml, 'k="(.*?)"\\s+v="(.*?)"', 1))) AS BIGINT) AS n_tags,
+       {node_name} AS name
+FROM nodes
+"""
+
+    sql["parse_ways"] = f"""
+WITH {B}
+SELECT way_id,
+       CAST(len(nds) AS BIGINT) AS n_nds,
+       CAST(nds[1] AS BIGINT) AS first_nd,
+       CAST(nds[len(nds)] AS BIGINT) AS last_nd,
+       {way_name} AS name
+FROM ways
+"""
+
+    sql["parse_relations"] = f"""
+WITH {B}
+SELECT rel_id,
+       CAST(len(list_filter(mtypes, x -> lower(x) IN ('way','node'))) AS BIGINT) AS n_members,
+       CAST(len(list_filter(mtypes, x -> lower(x) = 'way')) AS BIGINT) AS n_way_members,
+       CAST(len(list_filter(mtypes, x -> lower(x) = 'node')) AS BIGINT) AS n_node_members
+FROM rels
+"""
+
+    sql["edges_node_way"] = f"""
+WITH {B}
+SELECT DISTINCT node_id, way_id FROM way_nd
+"""
+
+    sql["j1_way_nodes"] = f"""
+WITH {B}
+SELECT DISTINCT way_id, node_id, lon, lat FROM resolved
+"""
+
+    sql["j2_way_nodes"] = f"""
+WITH {B}
+SELECT way_id,
+       CAST(row_number() OVER (PARTITION BY way_id ORDER BY pos) - 1 AS BIGINT) AS seq,
+       node_id, lon, lat
+FROM resolved
+"""
+
+    sql["j2_missing"] = f"""
+WITH {B}
+SELECT e.way_id,
+       CAST(row_number() OVER (PARTITION BY e.way_id ORDER BY e.pos) - 1 AS BIGINT) AS seq,
+       e.node_id
+FROM way_nd e
+LEFT JOIN nodes n USING (node_id)
+WHERE n.node_id IS NULL
+  AND e.way_id IN (SELECT way_id FROM resolved)
+"""
+
+    sql["j6_rel_summary"] = f"""
+WITH {B},
+mem AS (
+  SELECT rel_id, unnest(mtypes) AS mtype, CAST(unnest(mrefs) AS BIGINT) AS ref
+  FROM rels
+),
+node_members AS (SELECT DISTINCT rel_id, ref AS node_id FROM mem WHERE lower(mtype) = 'node'),
+way_members AS (SELECT DISTINCT rel_id, ref AS way_id FROM mem WHERE lower(mtype) = 'way'),
+rel_nodes AS (
+  SELECT m.rel_id, count(*) AS n_nodes
+  FROM node_members m JOIN nodes n USING (node_id)
+  GROUP BY m.rel_id
+),
+complete_way_ids AS (SELECT DISTINCT way_id FROM resolved),
+rel_ways AS (
+  SELECT m.rel_id, count(*) AS n_ways
+  FROM way_members m JOIN complete_way_ids c USING (way_id)
+  GROUP BY m.rel_id
+)
+SELECT rn.rel_id, CAST(rn.n_nodes AS BIGINT) AS n_nodes, CAST(rw.n_ways AS BIGINT) AS n_ways
+FROM rel_nodes rn JOIN rel_ways rw USING (rel_id)
+"""
+
+    sql["features_points"] = f"""
+WITH {B},
+poi AS (
+  SELECT node_id, lon, lat, {node_name} AS title, {node_cats} AS cats
+  FROM nodes
+  WHERE {_tagv('name')} <> ''
+)
+SELECT 'osmnode/' || CAST(node_id AS VARCHAR) AS feature_id, title, lon, lat,
+       unnest(cats) AS category
+FROM poi WHERE len(cats) > 0
+"""
+
+    sql["features_ways"] = f"""
+WITH {B},
+waystats AS (
+  SELECT way_id, count(*) AS n_coords,
+         arg_min(lon, pos) AS flon, arg_min(lat, pos) AS flat,
+         arg_max(lon, pos) AS llon, arg_max(lat, pos) AS llat
+  FROM resolved GROUP BY way_id
+),
+wfeat AS (
+  SELECT w.way_id, {way_name} AS title, {way_cats} AS cats,
+         s.n_coords, s.flon, s.flat, s.llon, s.llat
+  FROM ways w JOIN waystats s USING (way_id)
+  WHERE {_tagv('name')} <> ''
+)
+SELECT 'osmway/' || CAST(way_id AS VARCHAR) AS feature_id, title,
+       CASE WHEN flon = llon AND flat = llat THEN 'Polygon' ELSE 'LineString' END AS geom_type,
+       CAST(n_coords AS BIGINT) AS n_coords,
+       unnest(cats) AS category
+FROM wfeat WHERE len(cats) > 0
+"""
+
+    cell_pt = _cell_expr("lon", "lat", TILE_RES)
+    sql["tiles_cover"] = f"""
+WITH {B},
+poi AS (
+  SELECT node_id, lon, lat, {node_cats} AS cats
+  FROM nodes WHERE {_tagv('name')} <> ''
+),
+wfeat AS (
+  SELECT w.way_id, {way_cats} AS cats
+  FROM ways w
+  WHERE {_tagv('name')} <> '' AND way_id IN (SELECT way_id FROM resolved)
+),
+pts AS (
+  SELECT 'osmnode/' || CAST(node_id AS VARCHAR) AS feature_id, lon, lat
+  FROM poi WHERE len(cats) > 0
+  UNION ALL
+  SELECT 'osmway/' || CAST(r.way_id AS VARCHAR) AS feature_id, r.lon, r.lat
+  FROM resolved r JOIN wfeat f USING (way_id)
+  WHERE len(f.cats) > 0
+)
+SELECT DISTINCT feature_id, {cell_pt} AS cell_id FROM pts
+"""
+
+    sql["knn"] = f"""
+WITH {B},
+waystats AS (
+  SELECT way_id, count(*) AS n_coords,
+         arg_min(lon, pos) AS flon, arg_min(lat, pos) AS flat,
+         arg_max(lon, pos) AS llon, arg_max(lat, pos) AS llat,
+         avg(lon) AS cx, avg(lat) AS cy
+  FROM resolved GROUP BY way_id
+),
+polys AS (
+  SELECT w.way_id, s.cx, s.cy
+  FROM ways w JOIN waystats s USING (way_id)
+  WHERE {_tagv('name')} <> ''
+    AND s.flon = s.llon AND s.flat = s.llat
+    AND len({way_cats}) > 0
+),
+poi AS (
+  SELECT node_id, lon, lat, {node_cats} AS cats
+  FROM nodes WHERE {_tagv('name')} <> ''
+),
+pts AS (SELECT node_id, lon, lat FROM poi WHERE len(cats) > 0),
+pairs AS (
+  SELECT p.node_id, c.way_id,
+         (p.lon - c.cx) * (p.lon - c.cx) + (p.lat - c.cy) * (p.lat - c.cy) AS d2
+  FROM pts p CROSS JOIN polys c
+),
+ranked AS (
+  SELECT node_id, way_id,
+         row_number() OVER (PARTITION BY node_id ORDER BY d2, way_id) AS rnk
+  FROM pairs
+)
+SELECT 'osmnode/' || CAST(node_id AS VARCHAR) AS point_id,
+       'osmway/' || CAST(way_id AS VARCHAR) AS polygon_id,
+       CAST(rnk AS BIGINT) AS rnk
+FROM ranked WHERE rnk <= {KNN_K}
+"""
+
+    return sql
+
+
+OSM_QUERIES = {
+    "span_stats": q_span_stats,
+    "parse_nodes": q_parse_nodes,
+    "parse_ways": q_parse_ways,
+    "parse_relations": q_parse_relations,
+    "edges_node_way": q_edges_node_way,
+    "j1_way_nodes": q_j1_way_nodes,
+    "j2_way_nodes": q_j2_way_nodes,
+    "j2_missing": q_j2_missing,
+    "j6_rel_summary": q_j6_rel_summary,
+    "features_points": q_features_points,
+    "features_ways": q_features_ways,
+    "tiles_cover": q_tiles_cover,
+    "knn": q_knn,
+    # rows-only (non-SQL-expressible: iterative ring stitching, ray casting)
+    "relation_features": q_relation_features,
+    "pip_assign": q_pip,
+    "rejects": q_rejects,
+}

@@ -115,11 +115,9 @@ def way_features_batch(batch: pa.Table) -> pa.Table:
             continue  # cannot happen post-J2 (inner join guarantees ≥1)
         xs = [n["lon"] for n in nds]
         ys = [n["lat"] for n in nds]
-        geom_type = (
-            "Polygon"
-            if len(xs) >= 2 and xs[0] == xs[-1] and ys[0] == ys[-1]
-            else "LineString"
-        )
+        # coordinates.get(0).equals(coordinates.get(size-1)) — no length guard
+        # in the reference (OsmPostProcessor.java:200): a 1-node way is a Polygon
+        geom_type = "Polygon" if (xs[0] == xs[-1] and ys[0] == ys[-1]) else "LineString"
         out.add(
             f"osmway/{ids[i]}", "way", ids[i], name, geom_type,
             xs, ys, [0], [0], interp,
