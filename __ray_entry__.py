@@ -48,9 +48,9 @@ def oracle_sql() -> dict[str, str]:
     corpus = synth.ensure_corpus_for_sf(_SF01)
     sql = oracle_queries(corpus)
     try:
-        from osm2geojson_ray.pipelines.training import TRAINING_ORACLES
+        from osm2geojson_ray.pipelines.training import init_training_oracles
 
-        sql.update(TRAINING_ORACLES)
+        sql.update(init_training_oracles(corpus))
     except ImportError:
         pass
     return sql

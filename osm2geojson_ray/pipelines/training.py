@@ -1,0 +1,384 @@
+"""Training-data operator registry: dedup family, text analysis,
+similarity search, event-stream ops, multimodal stub — each a Ray
+pipeline over the driver tables (documents / embeddings / events /
+lineitem) paired with a DuckDB oracle on the same pre-registered views.
+
+Hash-based ops are SQL-replicated bit-exactly via
+``('0x' || substr(md5(x),1,15))::BIGINT`` == functions.hashing.md5int60.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+import ray.data
+
+from ..functions import hashing as H
+from ..stages import dedup as D
+from ..stages import events as EV
+from ..stages import similarity as S
+from ..stages import text as T
+from ..stages.multimodal import media_features
+
+ANN_QUERY_EVERY = 50
+ANN_K = 5
+EMB_DUP_THRESHOLD = 0.40  # near-dup bar calibrated to the synthetic
+# embedding distribution (within-label max cos ≈ 0.47 at sf0.01) so the
+# operator produces a non-trivial, oracle-checkable pair set
+JACCARD_THRESHOLD = 0.5
+
+
+def _docs(sf_dir: str) -> ray.data.Dataset:
+    return ray.data.read_parquet(f"{sf_dir}/documents.parquet")
+
+
+def _docs_cols(sf_dir: str, cols: list[str]) -> ray.data.Dataset:
+    return ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=cols)
+
+
+# --- engine queries ---------------------------------------------------------
+
+
+def q_token_stats(sf_dir: str):
+    return T.token_stats(_docs_cols(sf_dir, ["doc_id", "text"]))
+
+
+def q_quality(sf_dir: str):
+    return T.quality(_docs_cols(sf_dir, ["doc_id", "text"]))
+
+
+def q_lang_id(sf_dir: str):
+    return T.lang_id(_docs_cols(sf_dir, ["doc_id", "text"]))
+
+
+def q_fingerprint(sf_dir: str):
+    return T.fingerprint(_docs_cols(sf_dir, ["doc_id", "text"]))
+
+
+def q_simhash(sf_dir: str):
+    return T.simhash(_docs_cols(sf_dir, ["doc_id", "text"]))
+
+
+def q_dedup_exact(sf_dir: str):
+    return D.dedup_exact(_docs_cols(sf_dir, ["doc_id", "text"]))
+
+
+def q_minhash_pairs(sf_dir: str):
+    return D.dedup_minhash_pairs(_docs_cols(sf_dir, ["doc_id", "text"]))
+
+
+def q_simhash_pairs(sf_dir: str):
+    return D.simhash_bands(_docs_cols(sf_dir, ["doc_id", "text"]))
+
+
+def q_jaccard_pairs(sf_dir: str):
+    return D.ngram_jaccard_pairs(
+        _docs_cols(sf_dir, ["doc_id", "text", "source"]), threshold=JACCARD_THRESHOLD
+    )
+
+
+def q_embedding_dups(sf_dir: str):
+    emb = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
+    return D.embedding_dup_pairs(emb, threshold=EMB_DUP_THRESHOLD)
+
+
+def q_ann_bruteforce(sf_dir: str):
+    emb = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    return S.ann_bruteforce(emb, query_every=ANN_QUERY_EVERY, k=ANN_K)
+
+
+def q_ann_lsh(sf_dir: str):
+    emb = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    return S.ann_lsh(emb, query_every=ANN_QUERY_EVERY, k=ANN_K)
+
+
+def q_events_window(sf_dir: str):
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "ts", "user_id", "value"]
+    )
+    out = EV.windowed_agg(ev)
+
+    def epochify(t: pa.Table) -> pa.Table:
+        ws = t.column("window_start").combine_chunks().cast(pa.timestamp("s")).cast(pa.int64())
+        return pa.table(
+            {
+                "user_id": t.column("user_id"),
+                "window_epoch": ws,
+                "n": t.column("n").combine_chunks().cast(pa.int64()),
+                "min_value": t.column("min_value"),
+                "max_value": t.column("max_value"),
+            }
+        )
+
+    return out.map_batches(epochify, batch_format="pyarrow")
+
+
+def q_sessionize(sf_dir: str):
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "ts", "user_id"]
+    )
+    return EV.sessionize(ev)
+
+
+def q_lineitem_agg(sf_dir: str):
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_returnflag", "l_linestatus", "l_quantity"]
+    )
+    return EV.lineitem_pricing_summary(li)
+
+
+def q_media_features(sf_dir: str):
+    from .. import synth
+    from ..sources.documents import read_documents
+
+    corpus = synth.ensure_corpus_for_sf(sf_dir)
+    out = media_features(read_documents(corpus))
+    return out.map_batches(
+        lambda t: t.set_column(
+            t.schema.get_field_index("span_idx"),
+            "span_idx",
+            t.column("span_idx").combine_chunks().cast(pa.int64()),
+        ),
+        batch_format="pyarrow",
+    )
+
+
+TRAINING_QUERIES = {
+    "token_stats": q_token_stats,
+    "text_quality": q_quality,
+    "lang_id": q_lang_id,
+    "fingerprint": q_fingerprint,
+    "simhash": q_simhash,
+    "dedup_exact": q_dedup_exact,
+    "minhash_pairs": q_minhash_pairs,
+    "simhash_pairs": q_simhash_pairs,
+    "jaccard_pairs": q_jaccard_pairs,
+    "embedding_dups": q_embedding_dups,
+    "ann_bruteforce": q_ann_bruteforce,
+    "events_window": q_events_window,
+    "sessionize": q_sessionize,
+    "lineitem_agg": q_lineitem_agg,
+    "media_features": q_media_features,
+    # rows-only: approximate by design (recall measured in tests)
+    "ann_lsh": q_ann_lsh,
+}
+
+
+# --- oracle SQL -------------------------------------------------------------
+
+_MD5INT = "(('0x' || substr(md5({x}), 1, 15))::BIGINT)"
+_TOKS = "string_split(text, ' ')"
+_NTOK = f"len({_TOKS})"
+_STOPLIST = "('" + "','".join(H.STOPWORDS) + "')"
+
+_SHINGLES = (
+    f"CASE WHEN {_NTOK} < 3 THEN [text] ELSE "
+    f"list_filter(list_transform(list_zip({_TOKS}, {_TOKS}[2:], {_TOKS}[3:]), "
+    f"z -> z[1] || ' ' || z[2] || ' ' || z[3]), x -> x IS NOT NULL) END"
+)
+
+
+def _simhash_sql_core() -> str:
+    """CTEs computing a 16-bit simhash per doc, bit votes via 16 sums."""
+    tokhash = _MD5INT.format(x="tok") + f" % {1 << H.SIMHASH_BITS}"
+    votes = ",\n    ".join(
+        f"sum(CASE WHEN (th >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS v{b}"
+        for b in range(H.SIMHASH_BITS)
+    )
+    bits = " + ".join(
+        f"(CASE WHEN v{b} > 0 THEN {1 << b} ELSE 0 END)" for b in range(H.SIMHASH_BITS)
+    )
+    return f"""
+toks AS (SELECT doc_id, unnest({_TOKS}) AS tok FROM documents),
+th AS (SELECT doc_id, {tokhash} AS th FROM toks),
+votes AS (SELECT doc_id, {votes} FROM th GROUP BY doc_id),
+sh AS (SELECT doc_id, CAST({bits} AS BIGINT) AS simhash FROM votes)
+""".strip()
+
+
+def _minhash_sig_sql() -> str:
+    x = _MD5INT.format(x="s") + f" % {H.MOD}"
+    sig_exprs = ",\n    ".join(
+        f"list_aggregate(list_transform(xs, x -> ({a} * x + {b}) % {H.MOD}), 'min') AS s{i}"
+        for i, (a, b) in enumerate(zip(H.PERM_A, H.PERM_B))
+    )
+    r = H.ROWS_PER_BAND
+    band_rows = "\n  UNION ALL\n".join(
+        "SELECT doc_id, '"
+        + str(b)
+        + ":' || "
+        + " || ':' || ".join(f"CAST(s{b * r + j} AS VARCHAR)" for j in range(r))
+        + " AS band_key FROM sigs"
+        for b in range(H.N_BANDS)
+    )
+    return f"""
+shing AS (SELECT doc_id, list_distinct({_SHINGLES}) AS shs FROM documents),
+xs_t AS (SELECT doc_id, list_transform(shs, s -> {x}) AS xs FROM shing),
+sigs AS (SELECT doc_id, {sig_exprs} FROM xs_t),
+bands AS (
+  {band_rows}
+)
+""".strip()
+
+
+def training_oracles(corpus: str) -> dict[str, str]:
+    sql: dict[str, str] = {}
+
+    sql["token_stats"] = f"""
+SELECT doc_id,
+       CAST({_NTOK} AS BIGINT) AS n_tokens,
+       CAST(len(list_distinct({_TOKS})) AS BIGINT) AS n_unique_tokens,
+       CAST(length(text) AS BIGINT) AS n_chars
+FROM documents
+"""
+
+    sql["text_quality"] = f"""
+SELECT doc_id,
+       CAST({_NTOK} AS BIGINT) AS n_tokens,
+       CAST(length(text) - ({_NTOK} - 1) AS DOUBLE) / {_NTOK} AS avg_token_len,
+       CAST(len(list_filter({_TOKS}, t -> t IN {_STOPLIST})) AS BIGINT) AS n_stopwords,
+       CAST(len(list_filter({_TOKS}, t -> t IN {_STOPLIST})) AS DOUBLE) / {_NTOK} AS stopword_ratio
+FROM documents
+"""
+
+    marker_counts = ",\n       ".join(
+        f"len(list_filter({_TOKS}, t -> t IN ('" + "','".join(words) + f"'))) AS c_{lang}"
+        for lang, words in T.LANG_MARKERS
+    )
+    langs = [lang for lang, _ in T.LANG_MARKERS]
+    case = "CASE "
+    for i, lang in enumerate(langs):
+        conds = " AND ".join(f"c_{lang} >= c_{o}" for o in langs[i + 1 :]) or "TRUE"
+        prior = " AND ".join(f"c_{lang} > c_{o}" for o in langs[:i])
+        cond = " AND ".join(x for x in [prior, conds] if x)
+        case += f"WHEN {cond} THEN '{lang}' "
+    case += "END"
+    greatest = "greatest(" + ", ".join(f"c_{lang}" for lang in langs) + ")"
+    sql["lang_id"] = f"""
+WITH c AS (SELECT doc_id, {marker_counts} FROM documents)
+SELECT doc_id, {case} AS pred_lang, CAST({greatest} AS BIGINT) AS score FROM c
+"""
+
+    tok_i = _MD5INT.format(x="tok") + f" % {H.MOD}"
+    sql["fingerprint"] = f"""
+WITH toks AS (
+  SELECT doc_id, unnest({_TOKS}) AS tok,
+         CAST(generate_subscripts({_TOKS}, 1) AS BIGINT) AS i
+  FROM documents)
+SELECT doc_id, CAST(sum(({tok_i}) * i) AS BIGINT) AS fp
+FROM toks GROUP BY doc_id
+"""
+
+    sql["simhash"] = f"WITH {_simhash_sql_core()}\nSELECT doc_id, simhash FROM sh"
+
+    sql["dedup_exact"] = "SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)"
+
+    sql["minhash_pairs"] = f"""
+WITH {_minhash_sig_sql()}
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+FROM bands a JOIN bands b ON a.band_key = b.band_key AND a.doc_id < b.doc_id
+"""
+
+    sql["simhash_pairs"] = f"""
+WITH {_simhash_sql_core()},
+bands AS (
+  SELECT doc_id, CAST(b AS VARCHAR) || ':' || CAST((simhash >> (8 * b)) & 255 AS VARCHAR) AS band_key
+  FROM sh, (SELECT unnest([0, 1]) AS b)
+)
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+FROM bands a JOIN bands b ON a.band_key = b.band_key AND a.doc_id < b.doc_id
+"""
+
+    sql["jaccard_pairs"] = f"""
+WITH shing AS (SELECT doc_id, source, list_distinct({_SHINGLES}) AS shs FROM documents),
+ex AS (SELECT doc_id, source, unnest(shs) AS shingle FROM shing),
+sizes AS (SELECT doc_id, count(*) AS n FROM ex GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS ni
+  FROM ex a JOIN ex b ON a.source = b.source AND a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT da AS doc_a, db AS doc_b
+FROM inter JOIN sizes sa ON sa.doc_id = da JOIN sizes sb ON sb.doc_id = db
+WHERE CAST(ni AS DOUBLE) / (sa.n + sb.n - ni) >= {JACCARD_THRESHOLD}
+"""
+
+    sql["embedding_dups"] = f"""
+WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings)
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+WHERE list_cosine_similarity(a.emb, b.emb) >= {EMB_DUP_THRESHOLD}
+"""
+
+    sql["ann_bruteforce"] = f"""
+WITH q AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+  WHERE vec_id % {ANN_QUERY_EVERY} = 0
+),
+pairs AS (
+  SELECT q.vec_id AS query_id, v.vec_id AS neighbor_id,
+         list_cosine_similarity(q.e, CAST(v.embedding AS DOUBLE[])) AS sim
+  FROM q CROSS JOIN embeddings v
+),
+ranked AS (
+  SELECT query_id, neighbor_id,
+         row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rnk
+  FROM pairs
+)
+SELECT query_id, neighbor_id, CAST(rnk AS BIGINT) AS rnk FROM ranked WHERE rnk <= {ANN_K}
+"""
+
+    sql["events_window"] = """
+SELECT user_id,
+       CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS window_epoch,
+       CAST(count(*) AS BIGINT) AS n,
+       min(value) AS min_value,
+       max(value) AS max_value
+FROM events GROUP BY 1, 2
+"""
+
+    sql["sessionize"] = """
+WITH w AS (
+  SELECT event_id, user_id, ts,
+         lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+  FROM events
+)
+SELECT event_id, user_id,
+       CAST(sum(CASE WHEN prev_ts IS NULL OR ts - prev_ts > INTERVAL 30 MINUTE THEN 1 ELSE 0 END)
+            OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+FROM w
+"""
+
+    sql["lineitem_agg"] = """
+SELECT l_returnflag, l_linestatus,
+       sum(l_quantity) AS sum_qty,
+       CAST(count(*) AS BIGINT) AS n
+FROM lineitem GROUP BY 1, 2
+"""
+
+    h = _MD5INT.format(x="media_ref")
+    sql["media_features"] = f"""
+WITH raw AS (SELECT doc_id, spans FROM read_parquet('{corpus}/*.parquet')),
+sp AS (
+  SELECT doc_id, generate_subscripts(spans, 1) - 1 AS span_idx,
+         unnest(spans, recursive := true)
+  FROM raw
+)
+SELECT doc_id, CAST(span_idx AS BIGINT) AS span_idx, media_ref,
+       CAST(64 + {h} % 1024 AS BIGINT) AS width,
+       CAST(64 + ({h} // 1024) % 1024 AS BIGINT) AS height,
+       CAST(1 + ({h} // 1048576) % 16 AS BIGINT) AS n_frames
+FROM sp WHERE kind = 'media'
+"""
+
+    return sql
+
+
+TRAINING_ORACLES: dict[str, str] = {}
+
+
+def init_training_oracles(corpus: str) -> dict[str, str]:
+    TRAINING_ORACLES.clear()
+    TRAINING_ORACLES.update(training_oracles(corpus))
+    return TRAINING_ORACLES

@@ -1,0 +1,124 @@
+"""Text-analysis operators over a documents table (doc_id, text, lang,
+source, n_chars): token stats, quality scoring, language-ID heuristic,
+document fingerprinting, simhash.  All are ``map_batches`` kernels;
+string-heavy counting uses pyarrow compute regex kernels, the crypto-hash
+ops (fingerprint/simhash/minhash) are per-token by nature — the hash is
+the work, not Python overhead."""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray.data
+
+from ..functions import hashing as H
+
+# language-ID marker sets: deterministic argmax with first-match priority.
+# (A real n-gram model would go here; markers keep the heuristic exactly
+# SQL-replicable for the oracle.)
+LANG_MARKERS: list[tuple[str, tuple[str, ...]]] = [
+    ("en", ("the", "fast", "key")),
+    ("de", ("data", "slow")),
+    ("es", ("sort", "part")),
+    ("fr", ("merge", "line")),
+    ("zh", ("spark", "batch")),
+]
+
+
+def _count_tokens_regex(col: pa.ChunkedArray, words: tuple[str, ...]) -> np.ndarray:
+    pat = r"\b(?:" + "|".join(words) + r")\b"
+    return np.asarray(pc.count_substring_regex(col, pat), dtype=np.int64)
+
+
+def token_stats_batch(t: pa.Table) -> pa.Table:
+    text = t.column("text").combine_chunks()
+    n_chars = pc.utf8_length(text).cast(pa.int64())
+    n_spaces = pc.count_substring(text, " ").cast(pa.int64())
+    n_tokens = pc.add(n_spaces, 1)
+    uniq = pa.array(
+        [len(set(s.split(" "))) for s in text.to_pylist()], pa.int64()
+    )
+    return pa.table(
+        {
+            "doc_id": t.column("doc_id"),
+            "n_tokens": n_tokens,
+            "n_unique_tokens": uniq,
+            "n_chars": n_chars,
+        }
+    )
+
+
+def quality_batch(t: pa.Table) -> pa.Table:
+    """Quality scoring: token count, average token length, stopword ratio —
+    all single-division doubles so the oracle reproduces them bit-exactly."""
+    text = t.column("text").combine_chunks()
+    n_chars = np.asarray(pc.utf8_length(text), dtype=np.int64)
+    n_tokens = np.asarray(pc.count_substring(text, " "), dtype=np.int64) + 1
+    n_stop = _count_tokens_regex(text, H.STOPWORDS)
+    avg_len = (n_chars - (n_tokens - 1)).astype(np.float64) / n_tokens
+    stop_ratio = n_stop.astype(np.float64) / n_tokens
+    return pa.table(
+        {
+            "doc_id": t.column("doc_id"),
+            "n_tokens": pa.array(n_tokens, pa.int64()),
+            "avg_token_len": pa.array(avg_len, pa.float64()),
+            "n_stopwords": pa.array(n_stop, pa.int64()),
+            "stopword_ratio": pa.array(stop_ratio, pa.float64()),
+        }
+    )
+
+
+def lang_id_batch(t: pa.Table) -> pa.Table:
+    text = t.column("text").combine_chunks()
+    scores = np.stack([_count_tokens_regex(text, words) for _, words in LANG_MARKERS])
+    best = np.argmax(scores, axis=0)  # first max wins = marker-list priority
+    langs = np.asarray([lang for lang, _ in LANG_MARKERS], dtype=object)
+    return pa.table(
+        {
+            "doc_id": t.column("doc_id"),
+            "pred_lang": pa.array(langs[best], pa.string()),
+            "score": pa.array(scores[best, np.arange(scores.shape[1])], pa.int64()),
+        }
+    )
+
+
+def fingerprint_batch(t: pa.Table) -> pa.Table:
+    texts = t.column("text").to_pylist()
+    return pa.table(
+        {
+            "doc_id": t.column("doc_id"),
+            "fp": pa.array([H.fingerprint(s) for s in texts], pa.int64()),
+        }
+    )
+
+
+def simhash_batch(t: pa.Table) -> pa.Table:
+    texts = t.column("text").to_pylist()
+    return pa.table(
+        {
+            "doc_id": t.column("doc_id"),
+            "simhash": pa.array([H.simhash16(s) for s in texts], pa.int64()),
+        }
+    )
+
+
+def token_stats(docs: ray.data.Dataset) -> ray.data.Dataset:
+    return docs.map_batches(token_stats_batch, batch_format="pyarrow")
+
+
+def quality(docs: ray.data.Dataset) -> ray.data.Dataset:
+    return docs.map_batches(quality_batch, batch_format="pyarrow")
+
+
+def lang_id(docs: ray.data.Dataset) -> ray.data.Dataset:
+    return docs.map_batches(lang_id_batch, batch_format="pyarrow")
+
+
+def fingerprint(docs: ray.data.Dataset) -> ray.data.Dataset:
+    return docs.map_batches(fingerprint_batch, batch_format="pyarrow")
+
+
+def simhash(docs: ray.data.Dataset) -> ray.data.Dataset:
+    return docs.map_batches(simhash_batch, batch_format="pyarrow")
