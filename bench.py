@@ -1,0 +1,226 @@
+#!/usr/bin/env python
+"""Benchmark harness.
+
+Default: runs the headline pipelines over $GRAFT_SF_DIR (default
+/root/testdata/sf0.1) under ray.init(num_cpus=$RAY_GRAFT_CPUS, default
+32) and prints ONE JSON line:
+  {"metric": ..., "value": <flagship sec>, "unit": "sec",
+   "queries": {...}, "sf": ..., "num_cpus": N, ...}
+
+--scaling: runs the flagship twice in FRESH processes at num_cpus=8 and
+num_cpus=32 on the same input and reports both throughputs plus the
+N→4N scaling efficiency (the sandbox proxy for the two-cluster-size
+criterion in BASELINE.md).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+# --scaling uses a larger fixed corpus so the parallel-compute fraction
+# dominates the per-exchange barrier overhead (same input at both levels)
+SCALE_DOCS = int(os.environ.get("GRAFT_SCALE_DOCS", "300000"))
+
+
+def _init_ray(num_cpus: int):
+    import ray
+
+    ray.init(
+        address="local",
+        num_cpus=num_cpus,
+        include_dashboard=False,
+        ignore_reinit_error=True,
+        logging_level="ERROR",
+    )
+    from ray.data import DataContext
+
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+    ctx.execution_options.verbose_progress = False
+
+
+def corpus_stats(corpus: str) -> dict:
+    import pyarrow.dataset as pads
+    import pyarrow.compute as pc
+
+    t = pads.dataset(corpus, format="parquet").to_table(columns=["doc_id", "spans"])
+    n_spans = int(pc.sum(pc.list_value_length(t.column("spans"))).as_py())
+    return {"n_docs": t.num_rows, "n_spans": n_spans}
+
+
+def run_flagship(num_parts: int, n_docs: int | None = None) -> dict:
+    """documents → parse → join DAG → features → vertex tiles, end-to-end."""
+    import ray.data as rd
+
+    from osm2geojson_ray import synth
+    from osm2geojson_ray.pipelines.osm import OsmPipelineConfig, build
+    from osm2geojson_ray.sources.documents import read_documents
+    from osm2geojson_ray.stages.tiling import vertex_cells
+
+    corpus = (
+        synth.ensure_corpus(n_docs) if n_docs else synth.ensure_corpus_for_sf(SF_DIR)
+    )
+    stats = corpus_stats(corpus)
+
+    # warm the worker pool so process spawn isn't attributed to the pipeline
+    rd.range(NUM_CPUS * 2).map_batches(lambda b: b).materialize()
+
+    t0 = time.perf_counter()
+    g = build(read_documents(corpus), OsmPipelineConfig(num_parts=num_parts))
+    features = g["features"].materialize()
+    n_elements = g["elements"].count()
+    tiles = vertex_cells(features, 15, num_parts=num_parts).materialize()
+    wall = time.perf_counter() - t0
+    return {
+        "flagship_sec": wall,
+        "n_docs": stats["n_docs"],
+        "n_spans": stats["n_spans"],
+        "n_elements": n_elements,
+        "n_features": features.count(),
+        "n_tiles": tiles.count(),
+        "docs_per_sec": stats["n_docs"] / wall,
+        "elements_per_sec": n_elements / wall,
+    }
+
+
+def run_queries() -> dict:
+    """Representative per-operator timings at the bench SF."""
+    import ray.data as rd
+
+    from osm2geojson_ray.stages import dedup as D
+    from osm2geojson_ray.stages import events as EV
+    from osm2geojson_ray.stages import similarity as S
+    from osm2geojson_ray.stages import text as T
+
+    timings: dict[str, float] = {}
+
+    def timed(name, fn):
+        t0 = time.perf_counter()
+        ds = fn()
+        n = ds.count()
+        timings[name] = round(time.perf_counter() - t0, 4)
+        return n
+
+    docs = lambda cols: rd.read_parquet(f"{SF_DIR}/documents.parquet", columns=cols)  # noqa: E731
+    timed("token_stats", lambda: T.token_stats(docs(["doc_id", "text"])))
+    timed("text_quality", lambda: T.quality(docs(["doc_id", "text"])))
+    timed("dedup_exact", lambda: D.dedup_exact(docs(["doc_id", "text"])))
+    timed("minhash_pairs", lambda: D.dedup_minhash_pairs(docs(["doc_id", "text"])))
+    timed(
+        "jaccard_pairs",
+        lambda: D.ngram_jaccard_pairs(docs(["doc_id", "text", "source"])),
+    )
+    timed(
+        "ann_bruteforce",
+        lambda: S.ann_bruteforce(
+            rd.read_parquet(f"{SF_DIR}/embeddings.parquet", columns=["vec_id", "embedding"])
+        ),
+    )
+    timed(
+        "events_window",
+        lambda: EV.windowed_agg(
+            rd.read_parquet(f"{SF_DIR}/events.parquet", columns=["event_id", "ts", "user_id", "value"])
+        ),
+    )
+    timed(
+        "sessionize",
+        lambda: EV.sessionize(
+            rd.read_parquet(f"{SF_DIR}/events.parquet", columns=["event_id", "ts", "user_id"])
+        ),
+    )
+    timed(
+        "lineitem_agg",
+        lambda: EV.lineitem_pricing_summary(
+            rd.read_parquet(
+                f"{SF_DIR}/lineitem.parquet",
+                columns=["l_returnflag", "l_linestatus", "l_quantity"],
+            )
+        ),
+    )
+    return timings
+
+
+def main_bench(flagship_only: bool = False, n_docs: int | None = None) -> dict:
+    _init_ray(NUM_CPUS)
+    # partition count is sized to the DATA (as on a real cluster), not to
+    # the local CPU count — the same job must run identically at N and 4N
+    num_parts = 32
+    flag = run_flagship(num_parts, n_docs=n_docs)
+    queries = {} if flagship_only else run_queries()
+    import ray
+
+    ray.shutdown()
+    sf = os.path.basename(os.path.normpath(SF_DIR)).replace("sf", "")
+    try:
+        sf_val = float(sf)
+    except ValueError:
+        sf_val = None
+    out = {
+        "metric": "osm_docs_end_to_end",
+        "value": round(flag["flagship_sec"], 3),
+        "unit": "sec",
+        "queries": queries,
+        "sf": sf_val,
+        "num_cpus": NUM_CPUS,
+        **{k: (round(v, 2) if isinstance(v, float) else v) for k, v in flag.items()},
+    }
+    return out
+
+
+def main_scaling() -> dict:
+    """Fresh-process runs at 8 and 32 CPUs on the same fixed corpus
+    (GRAFT_SCALE_DOCS docs), best of two trials per level, a settle pause
+    between legs (ray shutdown reaps asynchronously)."""
+    from osm2geojson_ray import synth
+
+    synth.ensure_corpus(SCALE_DOCS)  # generate once, outside any timing
+    results: dict[int, dict] = {}
+    for cpus in (8, 32):
+        best = None
+        for _trial in range(2):
+            env = dict(os.environ, RAY_GRAFT_CPUS=str(cpus), GRAFT_SF_DIR=SF_DIR)
+            p = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), "--flagship-only",
+                 "--scale-docs", str(SCALE_DOCS)],
+                env=env, capture_output=True, text=True, timeout=3600,
+            )
+            line = [l for l in p.stdout.strip().splitlines() if l.startswith("{")][-1]
+            r = json.loads(line)
+            if best is None or r["value"] < best["value"]:
+                best = r
+            time.sleep(10)
+        results[cpus] = best
+    thr8 = results[8]["docs_per_sec"]
+    thr32 = results[32]["docs_per_sec"]
+    eff = (thr32 / thr8) / 4.0
+    return {
+        "metric": "scaling_efficiency_8_to_32",
+        "value": round(eff, 4),
+        "unit": "ratio",
+        "throughput_docs_per_sec": {"8": round(thr8, 2), "32": round(thr32, 2)},
+        "flagship_sec": {"8": results[8]["value"], "32": results[32]["value"]},
+        "scale_docs": SCALE_DOCS,
+        "n_elements": results[32].get("n_elements"),
+        "sf": results[32]["sf"],
+        "num_cpus": 32,
+        "queries": {},
+    }
+
+
+def _parse_scale_docs() -> int | None:
+    if "--scale-docs" in sys.argv:
+        return int(sys.argv[sys.argv.index("--scale-docs") + 1])
+    return None
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        print(json.dumps(main_scaling()))
+    else:
+        print(json.dumps(main_bench("--flagship-only" in sys.argv, _parse_scale_docs())))

@@ -59,12 +59,18 @@ def partition_map(
     cols: Sequence[str],
     num_parts: int,
     fn: Callable[[pa.Table], pa.Table],
+    coalesce: bool = True,
     **map_groups_kwargs,
 ) -> ray.data.Dataset:
     """Apply a vectorized ``fn`` to each hash partition of ``ds``.
 
     All rows sharing values of ``cols`` land in the same partition table.
     ``fn`` receives the partition with the ``__part`` column removed.
+
+    ``coalesce`` bounds the output at ``num_parts`` blocks: Ray's sort
+    shuffle emits roughly one block per *input* block, so chained
+    exchanges otherwise multiply block counts (70 → 770 observed), and
+    per-task dispatch overhead then dominates downstream stages.
     """
     cols = list(cols)
 
@@ -74,11 +80,14 @@ def partition_map(
     def run(t: pa.Table) -> pa.Table:
         return fn(t.drop_columns([PART_COL]))
 
-    return (
-        ds.map_batches(add_part, batch_format="pyarrow")
+    out = (
+        ds.map_batches(add_part, batch_format="pyarrow", zero_copy_batch=True)
         .groupby(PART_COL)
         .map_groups(run, batch_format="pyarrow", **map_groups_kwargs)
     )
+    if coalesce:
+        out = out.repartition(num_parts)
+    return out
 
 
 def distinct(ds: ray.data.Dataset, cols: Sequence[str], num_parts: int = 64) -> ray.data.Dataset:
@@ -91,7 +100,7 @@ def distinct(ds: ray.data.Dataset, cols: Sequence[str], num_parts: int = 64) -> 
         return t.group_by(cols).aggregate([]).select(cols)
 
     # pre-aggregate inside each input block before the shuffle (combiner)
-    pre = ds.map_batches(dedup, batch_format="pyarrow")
+    pre = ds.map_batches(dedup, batch_format="pyarrow", zero_copy_batch=True)
     return partition_map(pre, cols, num_parts, dedup)
 
 
@@ -158,7 +167,7 @@ def group_to_lists_salted(
         salt = (hash_keys(t, [salt_col]) % np.uint64(num_salts)).astype(np.int32)
         return t.append_column("__salt", pa.array(salt))
 
-    salted = ds.map_batches(add_salt, batch_format="pyarrow")
+    salted = ds.map_batches(add_salt, batch_format="pyarrow", zero_copy_batch=True)
 
     def assemble(t: pa.Table) -> pa.Table:
         g = group_table_to_lists(t, key, ["__salt", *sort_cols])

@@ -38,17 +38,19 @@ def _null_array(n: int, typ: pa.DataType) -> pa.Array:
 
 
 def _align(t: pa.Table, schema: pa.Schema) -> pa.Table:
-    cols = []
+    """Project ``t`` onto ``schema`` (null-filling absent columns).
+    Zero-copy: chunked columns pass through untouched; cast only on a
+    genuine type mismatch."""
+    cols = {}
     for f in schema:
         if f.name in t.column_names:
             col = t.column(f.name)
-            col = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
             if col.type != f.type:
                 col = col.cast(f.type)
-            cols.append(col)
+            cols[f.name] = col
         else:
-            cols.append(_null_array(t.num_rows, f.type))
-    return pa.Table.from_arrays(cols, schema=schema)
+            cols[f.name] = _null_array(t.num_rows, f.type)
+    return pa.table(cols, schema=schema)
 
 
 def _union_schema(left: pa.Schema, right: pa.Schema, key: str) -> pa.Schema:
@@ -61,6 +63,83 @@ def _union_schema(left: pa.Schema, right: pa.Schema, key: str) -> pa.Schema:
             raise ValueError(f"join column collision: {f.name}")
         fields.append(f)
     return pa.schema(fields + [pa.field(SIDE_COL, pa.int8())])
+
+
+def split_sides(t: pa.Table) -> tuple[pa.Table, pa.Table]:
+    """Split a tagged union partition back into (side0, side1) tables."""
+    side = t.column(SIDE_COL)
+    zero = pa.compute.equal(side, 0)
+    lt = t.filter(zero).drop_columns([SIDE_COL]).combine_chunks()
+    rt = t.filter(pa.compute.invert(zero)).drop_columns([SIDE_COL]).combine_chunks()
+    return lt, rt
+
+
+def join_unique_np(
+    mt: pa.Table,
+    ut: pa.Table,
+    key: str,
+    m_cols: list[str],
+    u_cols: list[str],
+) -> pa.Table:
+    """In-partition vectorized inner join, right side unique on key —
+    sorted searchsorted alignment (numpy + take: supports nested types)."""
+    mk = np.asarray(mt.column(key)) if mt.num_rows else np.empty(0, np.int64)
+    uk = np.asarray(ut.column(key)) if ut.num_rows else np.empty(0, np.int64)
+    order = np.argsort(uk, kind="stable")
+    uk_sorted = uk[order]
+    ri = np.searchsorted(uk_sorted, mk)
+    ri_clamped = np.minimum(ri, max(len(uk_sorted) - 1, 0))
+    if len(uk_sorted) == 0:
+        matched = np.zeros(len(mk), dtype=bool)
+    else:
+        matched = uk_sorted[ri_clamped] == mk
+    m_keep = mt.filter(pa.array(matched))
+    u_take = ut.take(pa.array(order[ri_clamped[matched]]))
+    cols = {key: m_keep.column(key)}
+    for n in m_cols:
+        cols[n] = m_keep.column(n)
+    for n in u_cols:
+        cols[n] = u_take.column(n)
+    arrays = [
+        v.combine_chunks() if isinstance(v, pa.ChunkedArray) else v for v in cols.values()
+    ]
+    return pa.Table.from_arrays(arrays, names=list(cols))
+
+
+def cogroup_apply(
+    left: ray.data.Dataset,
+    right: ray.data.Dataset,
+    key: str,
+    left_schema: pa.Schema,
+    right_schema: pa.Schema,
+    fn,
+    num_parts: int = 64,
+) -> ray.data.Dataset:
+    """The engine's single-exchange co-group: tag + union both sides,
+    hash-partition once on ``key``, call ``fn(left_part, right_part)``
+    with vectorized per-partition tables.  One shuffle per join stage —
+    the minimum the reference DAG admits (6 exchanges total, mirroring
+    OsmJoin's 6 sorted-file joins)."""
+    full = _union_schema(left_schema, right_schema, key)
+
+    def tag(side: int):
+        def _f(t: pa.Table) -> pa.Table:
+            t = t.append_column(SIDE_COL, pa.array(np.full(t.num_rows, side, np.int8)))
+            return _align(t, full)
+
+        return _f
+
+    unioned = left.map_batches(tag(0), batch_format="pyarrow", zero_copy_batch=True).union(
+        right.map_batches(tag(1), batch_format="pyarrow", zero_copy_batch=True)
+    )
+    left_names = [f.name for f in left_schema]
+    right_names = [f.name for f in right_schema]
+
+    def run(t: pa.Table) -> pa.Table:
+        lt, rt = split_sides(t)
+        return fn(lt.select(left_names), rt.select(right_names))
+
+    return partition_map(unioned, [key], num_parts, run)
 
 
 def join_on_unique(
@@ -89,8 +168,8 @@ def join_on_unique(
 
         return _f
 
-    unioned = many.map_batches(tag(0), batch_format="pyarrow").union(
-        unique.map_batches(tag(1), batch_format="pyarrow")
+    unioned = many.map_batches(tag(0), batch_format="pyarrow", zero_copy_batch=True).union(
+        unique.map_batches(tag(1), batch_format="pyarrow", zero_copy_batch=True)
     )
 
     def join_part(t: pa.Table) -> pa.Table:

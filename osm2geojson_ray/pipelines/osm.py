@@ -23,24 +23,52 @@ from ..stages.tiling import (
 @dataclass
 class OsmPipelineConfig:
     num_parts: int = 64          # hash-shuffle partition count
-    salt: int | None = None      # >1 enables salted mega-key collect
+    salt: int | None = None     # >1 enables salted mega-key collect
     tile_res: int = 15           # cell grid resolution
     knn_k: int = 2
+    # materialize shared intermediates once instead of re-executing the
+    # upstream subgraph per consumer branch (Ray datasets don't dedupe
+    # common subexpressions across branches) — the engine's analog of the
+    # reference's per-stage files, and the checkpointable boundary
+    materialize_shared: bool = True
 
 
 def build(documents: ray.data.Dataset, cfg: OsmPipelineConfig = OsmPipelineConfig()):
-    """Lazy dataset graph for every stage output.  Nothing executes until a
-    consuming call; Ray's streaming executor pipelines the whole DAG."""
-    elements = extract_elements(documents)
-    nodes = P.parse_nodes(elements)
-    ways = P.parse_ways(elements)
-    relations = P.parse_relations(elements)
+    """Dataset graph for every stage output.  With materialize_shared,
+    multi-consumer intermediates (elements, parsed tables, complete ways
+    and relations) are pinned once; everything downstream still streams."""
+    blocks = max(8, min(cfg.num_parts, 32))
+    if cfg.materialize_shared:
+        # parse tables inherit the read's block count — coalesce them;
+        # exchange outputs are already coalesced to num_parts blocks.
+        mat_src = lambda ds: ds.repartition(blocks).materialize()  # noqa: E731
+        mat = lambda ds: ds.materialize()  # noqa: E731
+    else:
+        mat_src = mat = lambda ds: ds  # noqa: E731
+    elements = mat_src(extract_elements(documents))
+    nodes = mat_src(P.parse_nodes(elements))
+    ways = mat_src(P.parse_ways(elements))
+    relations = mat_src(P.parse_relations(elements))
     rejects = P.parse_rejects(elements)
-    dag = J.build_join_dag(
-        nodes, ways, relations,
-        P.way_edges(ways), P.node_rel_edges(relations), P.way_rel_edges(relations),
-        num_parts=cfg.num_parts, salt=cfg.salt,
-    )
+    # staged execution: a materialization boundary every 1-2 exchanges.
+    # One giant lazy DAG is measurably slower on Ray's streaming executor
+    # (too many concurrent operator stages contend); this mirrors the
+    # reference's per-stage files and doubles as the checkpoint grain.
+    np_, salt = cfg.num_parts, cfg.salt
+    wn = J.j1_way_nodes(nodes, P.way_edges(ways), np_)
+    complete_ways = mat(J.j2_complete_ways(ways, wn, np_, salt))
+    rn = J.j3_rel_nodes(nodes, P.node_rel_edges(relations), np_)
+    rwn = mat(J.j4_rel_with_nodes(relations, rn, np_, salt))
+    rw = J.j5_rel_ways(complete_ways, P.way_rel_edges(relations), np_)
+    complete_rels = mat(J.j6_complete_relations(rwn, rw, np_, salt))
+    dag = {
+        "way_nodes": wn,
+        "complete_ways": complete_ways,
+        "rel_nodes": rn,
+        "rel_with_nodes": rwn,
+        "rel_ways": rw,
+        "complete_relations": complete_rels,
+    }
     pois = poi_features(nodes)
     wfeat = way_features(dag["complete_ways"])
     rfeat = relation_features(dag["complete_relations"])

@@ -110,7 +110,7 @@ def q_span_stats(sf_dir: str) -> ray.data.Dataset:
             }
         )
 
-    return _core(sf_dir, "documents").map_batches(explode, batch_format="pyarrow")
+    return _core(sf_dir, "documents").map_batches(explode, batch_format="pyarrow", zero_copy_batch=True)
 
 
 def _tag_value(tags_list: list[dict], key: str) -> str:
@@ -133,7 +133,7 @@ def q_parse_nodes(sf_dir: str) -> ray.data.Dataset:
             }
         )
 
-    return _core(sf_dir, "nodes").map_batches(f, batch_format="pyarrow")
+    return _core(sf_dir, "nodes").map_batches(f, batch_format="pyarrow", zero_copy_batch=True)
 
 
 def q_parse_ways(sf_dir: str) -> ray.data.Dataset:
@@ -153,7 +153,7 @@ def q_parse_ways(sf_dir: str) -> ray.data.Dataset:
             }
         )
 
-    return _core(sf_dir, "ways").map_batches(f, batch_format="pyarrow")
+    return _core(sf_dir, "ways").map_batches(f, batch_format="pyarrow", zero_copy_batch=True)
 
 
 def q_parse_relations(sf_dir: str) -> ray.data.Dataset:
@@ -170,7 +170,7 @@ def q_parse_relations(sf_dir: str) -> ray.data.Dataset:
             }
         )
 
-    return _core(sf_dir, "relations").map_batches(f, batch_format="pyarrow")
+    return _core(sf_dir, "relations").map_batches(f, batch_format="pyarrow", zero_copy_batch=True)
 
 
 def q_edges_node_way(sf_dir: str) -> ray.data.Dataset:
@@ -198,7 +198,7 @@ def q_j1_way_nodes(sf_dir: str) -> ray.data.Dataset:
         )
 
     return distinct(
-        cw.map_batches(explode, batch_format="pyarrow"),
+        cw.map_batches(explode, batch_format="pyarrow", zero_copy_batch=True),
         ["way_id", "node_id", "lon", "lat"],
         num_parts=16,
     )
@@ -223,7 +223,7 @@ def q_j2_way_nodes(sf_dir: str) -> ray.data.Dataset:
             }
         )
 
-    return cw.map_batches(explode, batch_format="pyarrow")
+    return cw.map_batches(explode, batch_format="pyarrow", zero_copy_batch=True)
 
 
 def q_j2_missing(sf_dir: str) -> ray.data.Dataset:
@@ -242,7 +242,7 @@ def q_j2_missing(sf_dir: str) -> ray.data.Dataset:
             }
         )
 
-    return cw.map_batches(explode, batch_format="pyarrow")
+    return cw.map_batches(explode, batch_format="pyarrow", zero_copy_batch=True)
 
 
 def q_j6_rel_summary(sf_dir: str) -> ray.data.Dataset:
@@ -257,7 +257,7 @@ def q_j6_rel_summary(sf_dir: str) -> ray.data.Dataset:
             }
         )
 
-    return cr.map_batches(f, batch_format="pyarrow")
+    return cr.map_batches(f, batch_format="pyarrow", zero_copy_batch=True)
 
 
 def _explode_categories(t: pa.Table, extra: dict[str, pa.Array]) -> pa.Table:
@@ -287,7 +287,7 @@ def q_features_points(sf_dir: str) -> ray.data.Dataset:
             },
         )
 
-    return pf.map_batches(f, batch_format="pyarrow")
+    return pf.map_batches(f, batch_format="pyarrow", zero_copy_batch=True)
 
 
 def q_features_ways(sf_dir: str) -> ray.data.Dataset:
@@ -304,7 +304,7 @@ def q_features_ways(sf_dir: str) -> ray.data.Dataset:
             },
         )
 
-    return wf.map_batches(f, batch_format="pyarrow")
+    return wf.map_batches(f, batch_format="pyarrow", zero_copy_batch=True)
 
 
 def q_tiles_cover(sf_dir: str) -> ray.data.Dataset:
@@ -347,7 +347,7 @@ def q_relation_features(sf_dir: str) -> ray.data.Dataset:
             }
         )
 
-    return rf.map_batches(f, batch_format="pyarrow")
+    return rf.map_batches(f, batch_format="pyarrow", zero_copy_batch=True)
 
 
 def q_pip(sf_dir: str) -> ray.data.Dataset:

@@ -111,7 +111,7 @@ def q_events_window(sf_dir: str):
             }
         )
 
-    return out.map_batches(epochify, batch_format="pyarrow")
+    return out.map_batches(epochify, batch_format="pyarrow", zero_copy_batch=True)
 
 
 def q_sessionize(sf_dir: str):

@@ -123,7 +123,7 @@ def extract_elements_batch(batch: pa.Table) -> pa.Table:
 
 
 def extract_elements(documents: ray.data.Dataset) -> ray.data.Dataset:
-    return documents.map_batches(extract_elements_batch, batch_format="pyarrow")
+    return documents.map_batches(extract_elements_batch, batch_format="pyarrow", zero_copy_batch=True)
 
 
 def span_signature(batch: pa.Table) -> list[str]:

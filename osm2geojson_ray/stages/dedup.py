@@ -43,7 +43,7 @@ def dedup_exact(docs: ray.data.Dataset, num_parts: int = 32) -> ray.data.Dataset
         g = df.groupby("digest", sort=False)["doc_id"].min().reset_index()
         return pa.Table.from_pandas(g[["doc_id"]], preserve_index=False)
 
-    pre = docs.map_batches(local_min, batch_format="pyarrow")
+    pre = docs.map_batches(local_min, batch_format="pyarrow", zero_copy_batch=True)
     return partition_map(pre, ["digest"], num_parts, part_min)
 
 
@@ -66,7 +66,7 @@ def minhash_signatures(docs: ray.data.Dataset) -> ray.data.Dataset:
         return pa.table({"doc_id": pa.array(out["doc_id"], pa.int64()),
                          "band_key": pa.array(out["band_key"], pa.string())})
 
-    return docs.map_batches(sig, batch_format="pyarrow")
+    return docs.map_batches(sig, batch_format="pyarrow", zero_copy_batch=True)
 
 
 def dedup_minhash_pairs(docs: ray.data.Dataset, num_parts: int = 32) -> ray.data.Dataset:
@@ -87,7 +87,7 @@ def dedup_minhash_pairs(docs: ray.data.Dataset, num_parts: int = 32) -> ray.data
     def dd(t: pa.Table) -> pa.Table:
         return t.group_by(["doc_a", "doc_b"]).aggregate([]).select(["doc_a", "doc_b"])
 
-    return partition_map(cand.map_batches(dd, batch_format="pyarrow"),
+    return partition_map(cand.map_batches(dd, batch_format="pyarrow", zero_copy_batch=True),
                          ["doc_a", "doc_b"], num_parts, dd)
 
 
@@ -107,7 +107,7 @@ def simhash_bands(docs: ray.data.Dataset, num_parts: int = 32) -> ray.data.Datas
         return pa.table({"doc_id": pa.array(out["doc_id"], pa.int64()),
                          "band_key": pa.array(out["band_key"], pa.string())})
 
-    sigs = docs.map_batches(sig, batch_format="pyarrow")
+    sigs = docs.map_batches(sig, batch_format="pyarrow", zero_copy_batch=True)
 
     def pairs(t: pa.Table) -> pa.Table:
         df = t.to_pandas()
@@ -122,7 +122,7 @@ def simhash_bands(docs: ray.data.Dataset, num_parts: int = 32) -> ray.data.Datas
     def dd(t: pa.Table) -> pa.Table:
         return t.group_by(["doc_a", "doc_b"]).aggregate([]).select(["doc_a", "doc_b"])
 
-    return partition_map(cand.map_batches(dd, batch_format="pyarrow"),
+    return partition_map(cand.map_batches(dd, batch_format="pyarrow", zero_copy_batch=True),
                          ["doc_a", "doc_b"], num_parts, dd)
 
 
@@ -146,7 +146,7 @@ def ngram_jaccard_pairs(
                          "doc_id": pa.array(out["doc_id"], pa.int64()),
                          "shingle": pa.array(out["shingle"], pa.string())})
 
-    sh = docs.map_batches(explode, batch_format="pyarrow")
+    sh = docs.map_batches(explode, batch_format="pyarrow", zero_copy_batch=True)
 
     def pairs(t: pa.Table) -> pa.Table:
         df = t.to_pandas()

@@ -37,7 +37,7 @@ def windowed_agg(events: ray.data.Dataset, num_parts: int = 32) -> ray.data.Data
         g["n"] = g["n"].astype("int64")
         return pa.Table.from_pandas(g, preserve_index=False)
 
-    pre = events.map_batches(local, batch_format="pyarrow")
+    pre = events.map_batches(local, batch_format="pyarrow", zero_copy_batch=True)
     return partition_map(pre, ["user_id", "window_start"], num_parts, merge)
 
 

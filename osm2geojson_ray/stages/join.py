@@ -1,7 +1,8 @@
 """The J1..J6 join DAG (SURVEY.md §2.4; OsmJoin.java:258-461).
 
 Reference flow (sorted-file merge co-groups) re-expressed as hash
-shuffles:
+shuffles — ONE exchange per stage, mirroring the reference's six
+sorted-file joins:
 
     J1 wayid2nodejson      = nodes ⋈ node→way edges        (:270-288)
     J2 wayid2completejson  = ways ⋈ grouped(J1)            (:290-323)
@@ -10,6 +11,12 @@ shuffles:
     J5 relid2wayjson       = way→rel edges ⋈ complete ways (:374-393)
     J6 relid2completejson  = J4 ⋈ grouped(J5)              (:396-421)
 
+Each stage tags + unions its two sides, hash-partitions once on the
+stage key, and runs a fully vectorized in-partition kernel (searchsorted
+join + run-length list assembly).  Edge dedup (SortingWriter.java:76-80,
+engine superset per SURVEY.md §1.4) happens *inside* the partition —
+the partition key co-locates every duplicate pair, so no extra shuffle.
+
 All joins are inner — the inner-join drop semantics are load-bearing:
 ways with zero resolvable nodes vanish at J2, relations without node
 members vanish at J4, relations without complete-way members vanish at
@@ -17,6 +24,10 @@ J6 (SURVEY.md §7.4).  Way-node order is restored from the data-carried
 ``pos`` column (never from shuffle order); per-relation member lists are
 deterministically sorted by member id (§1.4: per-key value order is not
 a reference contract).
+
+``salt`` switches J2/J4/J6 to the two-phase salted collect
+(functions.grouping.group_to_lists_salted) for planet-scale mega-key
+skew — more exchanges, bounded per-task fan-in.
 """
 
 from __future__ import annotations
@@ -26,13 +37,11 @@ import pyarrow as pa
 
 import ray.data
 
-from ..functions.grouping import distinct, group_to_lists, group_to_lists_salted
-from ..functions.joins import join_on_unique
+from ..functions.grouping import group_table_to_lists, group_to_lists_salted
+from ..functions.joins import cogroup_apply, join_on_unique, join_unique_np
 from ..schema import (
-    COMPLETE_RELATIONS,
     COMPLETE_WAY_STRUCT,
     NODE_STRUCT,
-    NODES,
     RELATIONS,
     TAGS,
     WAYS,
@@ -76,56 +85,43 @@ def _resort_lists(t: pa.Table, key_list_col: str, list_cols: list[str]) -> pa.Ta
     return pa.Table.from_arrays(list(cols.values()), names=list(cols))
 
 
+def _dedup(t: pa.Table, cols: list[str]) -> pa.Table:
+    return t.group_by(cols).aggregate([]).select(cols)
+
+
 # ---------------------------------------------------------------------------
-# J1 / J3 / J5: edge ⋈ unique-entity joins
+# schemas for the tagged unions
 # ---------------------------------------------------------------------------
 
-_J1_SCHEMA = pa.schema(
+_POS_EDGES = pa.schema(
     [("node_id", pa.int64()), ("way_id", pa.int64()), ("pos", pa.int32())]
 )
 _NODE_PAYLOAD = pa.schema(
     [("node_id", pa.int64()), ("lon", pa.float64()), ("lat", pa.float64()), ("node_tags", TAGS)]
 )
+_NODE_REL_EDGES = pa.schema([("node_id", pa.int64()), ("rel_id", pa.int64())])
+_WAY_REL_EDGES = pa.schema([("way_id", pa.int64()), ("rel_id", pa.int64())])
 
+_J1_OUT = pa.schema(
+    [
+        ("way_id", pa.int64()),
+        ("pos", pa.int32()),
+        ("node_id", pa.int64()),
+        ("lon", pa.float64()),
+        ("lat", pa.float64()),
+        ("node_tags", TAGS),
+    ]
+)
 
-def _nodes_renamed(nodes: ray.data.Dataset) -> ray.data.Dataset:
-    return nodes.map_batches(
-        lambda t: t.rename_columns(["node_id", "lon", "lat", "node_tags"]),
-        batch_format="pyarrow",
-    )
-
-
-def j1_way_nodes(
-    nodes: ray.data.Dataset, way_edges: ray.data.Dataset, num_parts: int = 64
-) -> ray.data.Dataset:
-    """nodes ⋈ node→way pos-edges → (way_id, pos, node_id, lon, lat, node_tags).
-
-    The reference's wayid2nodejson (OsmJoin.java:270-288) carries deduped
-    (node,way) pairs; the engine carries ``pos`` instead, which both
-    subsumes the dedup (pairs are unique per pos) and makes the J2
-    reassembly shuffle-order-independent."""
-    return join_on_unique(
-        way_edges, _nodes_renamed(nodes), "node_id", _J1_SCHEMA, _NODE_PAYLOAD,
-        how="inner", num_parts=num_parts,
-    )
-
-
-def j3_rel_nodes(
-    nodes: ray.data.Dataset, node_rel_edges: ray.data.Dataset, num_parts: int = 64
-) -> ray.data.Dataset:
-    """deduped node→rel edges ⋈ nodes → (rel_id, node_id, lon, lat, node_tags)
-    (OsmJoin.java:325-345; global exact dedup per SURVEY.md §1.4)."""
-    edges = distinct(node_rel_edges, ["node_id", "rel_id"], num_parts)
-    edge_schema = pa.schema([("node_id", pa.int64()), ("rel_id", pa.int64())])
-    return join_on_unique(
-        edges, _nodes_renamed(nodes), "node_id", edge_schema, _NODE_PAYLOAD,
-        how="inner", num_parts=num_parts,
-    )
-
-
-# ---------------------------------------------------------------------------
-# J2: complete ways
-# ---------------------------------------------------------------------------
+_J3_OUT = pa.schema(
+    [
+        ("rel_id", pa.int64()),
+        ("node_id", pa.int64()),
+        ("lon", pa.float64()),
+        ("lat", pa.float64()),
+        ("node_tags", TAGS),
+    ]
+)
 
 _GROUPED_J1 = pa.schema(
     [
@@ -137,6 +133,101 @@ _GROUPED_J1 = pa.schema(
         ("node_tags", pa.list_(TAGS)),
     ]
 )
+
+_REL_WITH_NODES = pa.schema(
+    [
+        ("rel_id", pa.int64()),
+        ("tags", TAGS),
+        ("members", RELATIONS.field("members").type),
+        ("nodes", pa.list_(NODE_STRUCT)),
+    ]
+)
+
+_COMPLETE_WAYS = pa.schema(
+    [
+        ("way_id", pa.int64()),
+        ("tags", TAGS),
+        ("nodes", pa.list_(NODE_STRUCT)),
+        ("missing_node_refs", pa.list_(pa.int64())),
+    ]
+)
+
+_COMPLETE_WAYS_RENAMED = pa.schema(
+    [
+        ("way_id", pa.int64()),
+        ("way_tags", TAGS),
+        ("way_nodes", pa.list_(NODE_STRUCT)),
+        ("way_missing", pa.list_(pa.int64())),
+    ]
+)
+
+_J5_OUT = pa.schema(
+    [
+        ("rel_id", pa.int64()),
+        ("way_id", pa.int64()),
+        ("way_tags", TAGS),
+        ("way_nodes", pa.list_(NODE_STRUCT)),
+        ("way_missing", pa.list_(pa.int64())),
+    ]
+)
+
+
+def _nodes_renamed(nodes: ray.data.Dataset) -> ray.data.Dataset:
+    return nodes.map_batches(
+        lambda t: t.rename_columns(["node_id", "lon", "lat", "node_tags"]),
+        batch_format="pyarrow",
+    )
+
+
+# ---------------------------------------------------------------------------
+# J1 / J3: edge ⋈ unique-node joins (one exchange each)
+# ---------------------------------------------------------------------------
+
+
+def j1_way_nodes(
+    nodes: ray.data.Dataset, way_edges: ray.data.Dataset, num_parts: int = 64
+) -> ray.data.Dataset:
+    """nodes ⋈ node→way pos-edges → (way_id, pos, node_id, lon, lat, node_tags).
+
+    The reference's wayid2nodejson (OsmJoin.java:270-288) carries deduped
+    (node,way) pairs; the engine carries ``pos`` instead, which both
+    subsumes the dedup (pairs are unique per pos) and makes the J2
+    reassembly shuffle-order-independent."""
+
+    def kernel(edges: pa.Table, nds: pa.Table) -> pa.Table:
+        out = join_unique_np(
+            edges, nds, "node_id", ["way_id", "pos"], ["lon", "lat", "node_tags"]
+        )
+        return out.select([f.name for f in _J1_OUT])
+
+    return cogroup_apply(
+        way_edges, _nodes_renamed(nodes), "node_id", _POS_EDGES, _NODE_PAYLOAD,
+        kernel, num_parts,
+    )
+
+
+def j3_rel_nodes(
+    nodes: ray.data.Dataset, node_rel_edges: ray.data.Dataset, num_parts: int = 64
+) -> ray.data.Dataset:
+    """deduped node→rel edges ⋈ nodes → (rel_id, node_id, lon, lat,
+    node_tags) (OsmJoin.java:325-345).  The (node_id, rel_id) exact dedup
+    runs inside the partition — the node_id hash co-locates every
+    duplicate pair."""
+
+    def kernel(edges: pa.Table, nds: pa.Table) -> pa.Table:
+        edges = _dedup(edges, ["node_id", "rel_id"])
+        out = join_unique_np(edges, nds, "node_id", ["rel_id"], ["lon", "lat", "node_tags"])
+        return out.select([f.name for f in _J3_OUT])
+
+    return cogroup_apply(
+        node_rel_edges, _nodes_renamed(nodes), "node_id", _NODE_REL_EDGES, _NODE_PAYLOAD,
+        kernel, num_parts,
+    )
+
+
+# ---------------------------------------------------------------------------
+# J2: complete ways (one exchange: group + join + assemble in-partition)
+# ---------------------------------------------------------------------------
 
 
 def _assemble_complete_ways(t: pa.Table) -> pa.Table:
@@ -190,43 +281,32 @@ def j2_complete_ways(
     num_parts: int = 64,
     salt: int | None = None,
 ) -> ray.data.Dataset:
-    """ways ⋈ per-way node lists → complete ways (OsmJoin.java:290-323).
-
-    ``salt`` > 1 enables the two-phase salted collect for skewed fan-in."""
+    """ways ⋈ per-way node lists → complete ways (OsmJoin.java:290-323)."""
     if salt and salt > 1:
         grouped = group_to_lists_salted(
             way_nodes, "way_id", "node_id", salt, sort_cols=["pos"], num_parts=num_parts
         )
-    else:
-        grouped = group_to_lists(way_nodes, "way_id", sort_cols=["pos"], num_parts=num_parts)
-    joined = join_on_unique(
-        ways, grouped, "way_id", WAYS, _GROUPED_J1, how="inner", num_parts=num_parts
+        joined = join_on_unique(
+            ways, grouped, "way_id", WAYS, _GROUPED_J1, how="inner", num_parts=num_parts
+        )
+        return joined.map_batches(_assemble_complete_ways, batch_format="pyarrow", zero_copy_batch=True)
+
+    def kernel(wn: pa.Table, wy: pa.Table) -> pa.Table:
+        grouped = group_table_to_lists(wn, "way_id", ["pos"])
+        joined = join_unique_np(
+            grouped, wy, "way_id",
+            ["pos", "node_id", "lon", "lat", "node_tags"], ["tags", "ns"],
+        )
+        return _assemble_complete_ways(joined)
+
+    return cogroup_apply(
+        way_nodes, ways, "way_id", _J1_OUT, WAYS, kernel, num_parts
     )
-    return joined.map_batches(_assemble_complete_ways, batch_format="pyarrow")
 
 
 # ---------------------------------------------------------------------------
-# J4: relations + node lists
+# J4: relations + node lists (one exchange)
 # ---------------------------------------------------------------------------
-
-_GROUPED_J3 = pa.schema(
-    [
-        ("rel_id", pa.int64()),
-        ("node_id", pa.list_(pa.int64())),
-        ("lon", pa.list_(pa.float64())),
-        ("lat", pa.list_(pa.float64())),
-        ("node_tags", pa.list_(TAGS)),
-    ]
-)
-
-_REL_WITH_NODES = pa.schema(
-    [
-        ("rel_id", pa.int64()),
-        ("tags", TAGS),
-        ("members", RELATIONS.field("members").type),
-        ("nodes", pa.list_(NODE_STRUCT)),
-    ]
-)
 
 
 def _pack_rel_nodes(t: pa.Table) -> pa.Table:
@@ -255,47 +335,57 @@ def j4_rel_with_nodes(
 ) -> ray.data.Dataset:
     """relations ⋈ per-rel node lists (inner: node-less relations drop —
     OsmJoin.java:347-372).  Node list deterministically sorted by node_id."""
+    packed_schema = pa.schema([("rel_id", pa.int64()), ("nodes", pa.list_(NODE_STRUCT))])
     if salt and salt > 1:
         grouped = group_to_lists_salted(
             rel_nodes, "rel_id", "node_id", salt, sort_cols=["node_id"], num_parts=num_parts
         )
-    else:
-        grouped = group_to_lists(rel_nodes, "rel_id", sort_cols=["node_id"], num_parts=num_parts)
-    packed_schema = pa.schema([("rel_id", pa.int64()), ("nodes", pa.list_(NODE_STRUCT))])
-    packed = grouped.map_batches(_pack_rel_nodes, batch_format="pyarrow")
-    return join_on_unique(
-        relations, packed, "rel_id", RELATIONS, packed_schema, how="inner", num_parts=num_parts
+        packed = grouped.map_batches(_pack_rel_nodes, batch_format="pyarrow", zero_copy_batch=True)
+        return join_on_unique(
+            relations, packed, "rel_id", RELATIONS, packed_schema,
+            how="inner", num_parts=num_parts,
+        )
+
+    def kernel(rn: pa.Table, rels: pa.Table) -> pa.Table:
+        packed = _pack_rel_nodes(group_table_to_lists(rn, "rel_id", ["node_id"]))
+        out = join_unique_np(packed, rels, "rel_id", ["nodes"], ["tags", "members"])
+        return out.select([f.name for f in _REL_WITH_NODES])
+
+    return cogroup_apply(
+        rel_nodes, relations, "rel_id", _J3_OUT, RELATIONS, kernel, num_parts
     )
 
 
 # ---------------------------------------------------------------------------
-# J5 + J6: relations + complete-way lists
+# J5: way→rel edges ⋈ complete ways (one exchange)
 # ---------------------------------------------------------------------------
-
-_COMPLETE_WAYS_RENAMED = pa.schema(
-    [
-        ("way_id", pa.int64()),
-        ("way_tags", TAGS),
-        ("way_nodes", pa.list_(NODE_STRUCT)),
-        ("way_missing", pa.list_(pa.int64())),
-    ]
-)
 
 
 def j5_rel_ways(
     complete_ways: ray.data.Dataset, way_rel_edges: ray.data.Dataset, num_parts: int = 64
 ) -> ray.data.Dataset:
     """deduped way→rel edges ⋈ complete ways (OsmJoin.java:374-393)."""
-    edges = distinct(way_rel_edges, ["way_id", "rel_id"], num_parts)
-    edge_schema = pa.schema([("way_id", pa.int64()), ("rel_id", pa.int64())])
     renamed = complete_ways.map_batches(
         lambda t: t.rename_columns(["way_id", "way_tags", "way_nodes", "way_missing"]),
         batch_format="pyarrow",
     )
-    return join_on_unique(
-        edges, renamed, "way_id", edge_schema, _COMPLETE_WAYS_RENAMED,
-        how="inner", num_parts=num_parts,
+
+    def kernel(edges: pa.Table, cw: pa.Table) -> pa.Table:
+        edges = _dedup(edges, ["way_id", "rel_id"])
+        out = join_unique_np(
+            edges, cw, "way_id", ["rel_id"], ["way_tags", "way_nodes", "way_missing"]
+        )
+        return out.select([f.name for f in _J5_OUT])
+
+    return cogroup_apply(
+        way_rel_edges, renamed, "way_id", _WAY_REL_EDGES, _COMPLETE_WAYS_RENAMED,
+        kernel, num_parts,
     )
+
+
+# ---------------------------------------------------------------------------
+# J6: complete relations (one exchange)
+# ---------------------------------------------------------------------------
 
 
 def _pack_rel_ways(t: pa.Table) -> pa.Table:
@@ -324,21 +414,27 @@ def j6_complete_relations(
 ) -> ray.data.Dataset:
     """rel(+nodes) ⋈ per-rel complete-way lists (inner: way-less relations
     drop — OsmJoin.java:396-421).  Ways sorted by way_id."""
+    packed_schema = pa.schema(
+        [("rel_id", pa.int64()), ("ways", pa.list_(COMPLETE_WAY_STRUCT))]
+    )
     if salt and salt > 1:
         grouped = group_to_lists_salted(
             rel_ways, "rel_id", "way_id", salt, sort_cols=["way_id"], num_parts=num_parts
         )
-    else:
-        grouped = group_to_lists(rel_ways, "rel_id", sort_cols=["way_id"], num_parts=num_parts)
-    packed_schema = pa.schema(
-        [("rel_id", pa.int64()), ("ways", pa.list_(COMPLETE_WAY_STRUCT))]
+        packed = grouped.map_batches(_pack_rel_ways, batch_format="pyarrow", zero_copy_batch=True)
+        return join_on_unique(
+            rel_with_nodes, packed, "rel_id", _REL_WITH_NODES, packed_schema,
+            how="inner", num_parts=num_parts,
+        )
+
+    def kernel(rw: pa.Table, rwn: pa.Table) -> pa.Table:
+        packed = _pack_rel_ways(group_table_to_lists(rw, "rel_id", ["way_id"]))
+        out = join_unique_np(packed, rwn, "rel_id", ["ways"], ["tags", "members", "nodes"])
+        return out.select(["rel_id", "tags", "members", "nodes", "ways"])
+
+    return cogroup_apply(
+        rel_ways, rel_with_nodes, "rel_id", _J5_OUT, _REL_WITH_NODES, kernel, num_parts
     )
-    packed = grouped.map_batches(_pack_rel_ways, batch_format="pyarrow")
-    out = join_on_unique(
-        rel_with_nodes, packed, "rel_id", _REL_WITH_NODES, packed_schema,
-        how="inner", num_parts=num_parts,
-    )
-    return out
 
 
 def build_join_dag(
@@ -351,9 +447,9 @@ def build_join_dag(
     num_parts: int = 64,
     salt: int | None = None,
 ) -> dict[str, ray.data.Dataset]:
-    """The full DAG (OsmJoin.processAll, :423-461).  Stages 1-2 and 3-4
-    are independent branches; Ray's streaming executor runs them
-    concurrently (the reference serializes them needlessly, SURVEY.md §3.4)."""
+    """The full DAG (OsmJoin.processAll, :423-461) — 6 exchanges total.
+    Stages 1-2 and 3-4 are independent branches; Ray's streaming executor
+    runs them concurrently (the reference serializes them needlessly)."""
     wn = j1_way_nodes(nodes, way_edges, num_parts)
     complete_ways = j2_complete_ways(ways, wn, num_parts, salt)
     rn = j3_rel_nodes(nodes, node_rel_edges, num_parts)

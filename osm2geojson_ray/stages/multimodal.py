@@ -75,7 +75,7 @@ def extract_media_spans(documents: ray.data.Dataset) -> ray.data.Dataset:
             }
         )
 
-    return documents.map_batches(f, batch_format="pyarrow")
+    return documents.map_batches(f, batch_format="pyarrow", zero_copy_batch=True)
 
 
 def media_features(documents: ray.data.Dataset, concurrency=(1, 4)) -> ray.data.Dataset:

@@ -1,7 +1,7 @@
 """Vectorized parsers P1-P4 (SURVEY.md §2.3; OsmJoin.java:155-256).
 
 Each kernel is a pure batch transform (Arrow in → Arrow out) suitable for
-``Dataset.map_batches(batch_format="pyarrow")``.  Regex battery and
+``Dataset.map_batches(batch_format="pyarrow", zero_copy_batch=True)``.  Regex battery and
 first-match semantics are pinned to OsmJoin.java:63-68; the node-only
 XML-unescape quirk (:170 vs :198) is replicated.
 """
@@ -243,23 +243,23 @@ def rel_edges_batch(rels: pa.Table, member_type: str) -> pa.Table:
 
 
 def parse_nodes(elements: ray.data.Dataset) -> ray.data.Dataset:
-    return elements.map_batches(parse_nodes_batch, batch_format="pyarrow")
+    return elements.map_batches(parse_nodes_batch, batch_format="pyarrow", zero_copy_batch=True)
 
 
 def parse_ways(elements: ray.data.Dataset) -> ray.data.Dataset:
-    return elements.map_batches(parse_ways_batch, batch_format="pyarrow")
+    return elements.map_batches(parse_ways_batch, batch_format="pyarrow", zero_copy_batch=True)
 
 
 def parse_relations(elements: ray.data.Dataset) -> ray.data.Dataset:
-    return elements.map_batches(parse_relations_batch, batch_format="pyarrow")
+    return elements.map_batches(parse_relations_batch, batch_format="pyarrow", zero_copy_batch=True)
 
 
 def parse_rejects(elements: ray.data.Dataset) -> ray.data.Dataset:
-    return elements.map_batches(rejects_batch, batch_format="pyarrow")
+    return elements.map_batches(rejects_batch, batch_format="pyarrow", zero_copy_batch=True)
 
 
 def way_edges(ways: ray.data.Dataset) -> ray.data.Dataset:
-    return ways.map_batches(way_edges_batch, batch_format="pyarrow")
+    return ways.map_batches(way_edges_batch, batch_format="pyarrow", zero_copy_batch=True)
 
 
 def node_rel_edges(relations: ray.data.Dataset) -> ray.data.Dataset:

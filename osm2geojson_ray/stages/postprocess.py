@@ -126,8 +126,8 @@ def way_features_batch(batch: pa.Table) -> pa.Table:
 
 
 def poi_features(nodes: ray.data.Dataset) -> ray.data.Dataset:
-    return nodes.map_batches(poi_features_batch, batch_format="pyarrow")
+    return nodes.map_batches(poi_features_batch, batch_format="pyarrow", zero_copy_batch=True)
 
 
 def way_features(complete_ways: ray.data.Dataset) -> ray.data.Dataset:
-    return complete_ways.map_batches(way_features_batch, batch_format="pyarrow")
+    return complete_ways.map_batches(way_features_batch, batch_format="pyarrow", zero_copy_batch=True)

@@ -137,8 +137,8 @@ def ring_rejects_batch(batch: pa.Table) -> pa.Table:
 
 
 def relation_features(complete_relations: ray.data.Dataset) -> ray.data.Dataset:
-    return complete_relations.map_batches(relation_features_batch, batch_format="pyarrow")
+    return complete_relations.map_batches(relation_features_batch, batch_format="pyarrow", zero_copy_batch=True)
 
 
 def ring_rejects(complete_relations: ray.data.Dataset) -> ray.data.Dataset:
-    return complete_relations.map_batches(ring_rejects_batch, batch_format="pyarrow")
+    return complete_relations.map_batches(ring_rejects_batch, batch_format="pyarrow", zero_copy_batch=True)

@@ -115,7 +115,7 @@ def ann_lsh(
                          "is_query": pa.array(is_q),
                          "embedding": t.column("embedding")})
 
-    bucketed = embeddings.map_batches(bucketize, batch_format="pyarrow")
+    bucketed = embeddings.map_batches(bucketize, batch_format="pyarrow", zero_copy_batch=True)
 
     from ..functions.grouping import partition_map
 

@@ -105,20 +105,20 @@ def simhash_batch(t: pa.Table) -> pa.Table:
 
 
 def token_stats(docs: ray.data.Dataset) -> ray.data.Dataset:
-    return docs.map_batches(token_stats_batch, batch_format="pyarrow")
+    return docs.map_batches(token_stats_batch, batch_format="pyarrow", zero_copy_batch=True)
 
 
 def quality(docs: ray.data.Dataset) -> ray.data.Dataset:
-    return docs.map_batches(quality_batch, batch_format="pyarrow")
+    return docs.map_batches(quality_batch, batch_format="pyarrow", zero_copy_batch=True)
 
 
 def lang_id(docs: ray.data.Dataset) -> ray.data.Dataset:
-    return docs.map_batches(lang_id_batch, batch_format="pyarrow")
+    return docs.map_batches(lang_id_batch, batch_format="pyarrow", zero_copy_batch=True)
 
 
 def fingerprint(docs: ray.data.Dataset) -> ray.data.Dataset:
-    return docs.map_batches(fingerprint_batch, batch_format="pyarrow")
+    return docs.map_batches(fingerprint_batch, batch_format="pyarrow", zero_copy_batch=True)
 
 
 def simhash(docs: ray.data.Dataset) -> ray.data.Dataset:
-    return docs.map_batches(simhash_batch, batch_format="pyarrow")
+    return docs.map_batches(simhash_batch, batch_format="pyarrow", zero_copy_batch=True)

@@ -70,7 +70,7 @@ def polygon_cover_batch(batch: pa.Table, res: int) -> pa.Table:
 
 
 def polygon_cover(features: ray.data.Dataset, res: int) -> ray.data.Dataset:
-    return features.map_batches(lambda t: polygon_cover_batch(t, res), batch_format="pyarrow")
+    return features.map_batches(lambda t: polygon_cover_batch(t, res), batch_format="pyarrow", zero_copy_batch=True)
 
 
 # ---------------------------------------------------------------------------
@@ -103,7 +103,7 @@ def assign_points_to_polygons(
     the polygon.  Candidates via the flat cell_id hash join of point cells
     against the polygon polyfill; exact even-odd test afterwards against
     the polygon geometry held in an actor-pool index."""
-    pt_cells = points.map_batches(lambda t: point_cells_batch(t, res), batch_format="pyarrow")
+    pt_cells = points.map_batches(lambda t: point_cells_batch(t, res), batch_format="pyarrow", zero_copy_batch=True)
     poly_cells = polygon_cover(polygons, res).map_batches(
         lambda t: t.rename_columns(["polygon_id", "cell_id"]), batch_format="pyarrow"
     )
@@ -185,7 +185,7 @@ def polygon_centroids_batch(batch: pa.Table) -> pa.Table:
 
 
 def polygon_centroids(polygons: ray.data.Dataset) -> ray.data.Dataset:
-    return polygons.map_batches(polygon_centroids_batch, batch_format="pyarrow")
+    return polygons.map_batches(polygon_centroids_batch, batch_format="pyarrow", zero_copy_batch=True)
 
 
 def knn_points_to_centroids(
