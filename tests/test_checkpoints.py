@@ -1,0 +1,45 @@
+"""Checkpoint/resume + lineage metrics (SURVEY.md §4)."""
+
+import shutil
+
+import pytest
+
+from osm2geojson_ray.state.checkpoints import run_checkpointed_flagship
+
+
+@pytest.fixture()
+def workdir(tmp_path):
+    d = str(tmp_path / "ckpt")
+    yield d
+    shutil.rmtree(d, ignore_errors=True)
+
+
+def test_checkpoint_run_and_resume(small_corpus_dir, workdir):
+    out1 = run_checkpointed_flagship(small_corpus_dir, workdir, num_parts=8)
+    cp1 = out1["pipeline"]
+    n_features = out1["features"].count()
+    assert n_features > 0
+    assert "complete_ways" in cp1.executed and not cp1.skipped
+
+    # resumed run: every stage skipped, same results
+    out2 = run_checkpointed_flagship(small_corpus_dir, workdir, num_parts=8)
+    cp2 = out2["pipeline"]
+    assert not cp2.executed
+    assert set(cp2.skipped) >= {"elements", "nodes", "ways", "relations",
+                                "complete_ways", "complete_relations", "features"}
+    assert out2["features"].count() == n_features
+
+    # partial resume: invalidate one stage → only it (and nothing upstream) reruns
+    import os
+
+    os.remove(os.path.join(workdir, "features", "_MANIFEST.json"))
+    out3 = run_checkpointed_flagship(small_corpus_dir, workdir, num_parts=8)
+    assert out3["pipeline"].executed == ["features"]
+    assert out3["features"].count() == n_features
+
+    # lineage metrics recorded per stage execution
+    lineage = out3["pipeline"].lineage()
+    stages = {r["stage"] for r in lineage}
+    assert "complete_relations" in stages
+    first_run = [r for r in lineage if not r["resumed"] and r["stage"] == "features"]
+    assert first_run and first_run[0]["rows"] == n_features
