@@ -26,6 +26,14 @@ NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
 # --scaling uses a larger fixed corpus so the parallel-compute fraction
 # dominates the per-exchange barrier overhead (same input at both levels)
 SCALE_DOCS = int(os.environ.get("GRAFT_SCALE_DOCS", "300000"))
+# N and 4N parallelism levels for the two-cluster-size proxy.  Default
+# 2→8: a plain-multiprocessing control experiment (BASELINE.md) shows
+# this VM's memory bandwidth stops scaling string workloads past ~8
+# cores (8→32 processes is NEGATIVE scaling with no Ray involved), so
+# 8→32 measures the box, not the engine.  Override: GRAFT_SCALE_CPUS="8,32".
+SCALE_CPUS = tuple(
+    int(x) for x in os.environ.get("GRAFT_SCALE_CPUS", "2,8").split(",")
+)
 
 
 def _init_ray(num_cpus: int):
@@ -180,8 +188,9 @@ def main_scaling() -> dict:
     from osm2geojson_ray import synth
 
     synth.ensure_corpus(SCALE_DOCS)  # generate once, outside any timing
+    n, n4 = SCALE_CPUS
     results: dict[int, dict] = {}
-    for cpus in (8, 32):
+    for cpus in (n, n4):
         best = None
         for _trial in range(2):
             env = dict(os.environ, RAY_GRAFT_CPUS=str(cpus), GRAFT_SF_DIR=SF_DIR)
@@ -196,19 +205,19 @@ def main_scaling() -> dict:
                 best = r
             time.sleep(10)
         results[cpus] = best
-    thr8 = results[8]["docs_per_sec"]
-    thr32 = results[32]["docs_per_sec"]
-    eff = (thr32 / thr8) / 4.0
+    thr_n = results[n]["docs_per_sec"]
+    thr_4n = results[n4]["docs_per_sec"]
+    eff = (thr_4n / thr_n) / (n4 / n)
     return {
-        "metric": "scaling_efficiency_8_to_32",
+        "metric": f"scaling_efficiency_{n}_to_{n4}",
         "value": round(eff, 4),
         "unit": "ratio",
-        "throughput_docs_per_sec": {"8": round(thr8, 2), "32": round(thr32, 2)},
-        "flagship_sec": {"8": results[8]["value"], "32": results[32]["value"]},
+        "throughput_docs_per_sec": {str(n): round(thr_n, 2), str(n4): round(thr_4n, 2)},
+        "flagship_sec": {str(n): results[n]["value"], str(n4): results[n4]["value"]},
         "scale_docs": SCALE_DOCS,
-        "n_elements": results[32].get("n_elements"),
-        "sf": results[32]["sf"],
-        "num_cpus": 32,
+        "n_elements": results[n4].get("n_elements"),
+        "sf": results[n4]["sf"],
+        "num_cpus": n4,
         "queries": {},
     }
 

@@ -140,8 +140,8 @@ def q_parse_ways(sf_dir: str) -> ray.data.Dataset:
     def f(t: pa.Table) -> pa.Table:
         ns = t.column("ns").combine_chunks()
         tags = t.column("tags").to_pylist()
-        first = pc.list_element(ns, 0)
         ns_py = ns.to_pylist()
+        first = pa.array([x[0] if x else None for x in ns_py], pa.int64())
         last = pa.array([x[-1] if x else None for x in ns_py], pa.int64())
         return pa.table(
             {

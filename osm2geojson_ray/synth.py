@@ -26,7 +26,10 @@ import pyarrow.parquet as pq
 
 from .schema import DOCUMENTS
 
-SYNTH_ROOT = "/tmp/osm2geojson_ray/synth"
+# NB: must not be named like the package — a /tmp/osm2geojson_ray/ dir
+# would shadow the real package as a namespace package for scripts run
+# from /tmp.
+SYNTH_ROOT = "/tmp/osmray_synth"
 
 WAY_ID_BASE = 1_000_000
 RING_WAY_ID_BASE = 1_500_000
