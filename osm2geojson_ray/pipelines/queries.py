@@ -330,6 +330,36 @@ def q_knn(sf_dir: str) -> ray.data.Dataset:
     )
 
 
+def q_rasterize(sf_dir: str) -> ray.data.Dataset:
+    from ..stages.raster import rasterize
+
+    feats = _core(sf_dir, "poi_features").union(_core(sf_dir, "way_features"))
+    return rasterize(feats, TILE_RES, num_parts=16)
+
+
+def q_vectorize(sf_dir: str) -> ray.data.Dataset:
+    from ..stages.raster import rasterize, vectorize
+
+    feats = _core(sf_dir, "poi_features").union(_core(sf_dir, "way_features"))
+    vec = vectorize(rasterize(feats, TILE_RES, num_parts=16))
+
+    def flatten(t: pa.Table) -> pa.Table:
+        xs = t.column("xs").combine_chunks()
+        ys = t.column("ys").combine_chunks()
+        return pa.table(
+            {
+                "cell_id": t.column("cell_id"),
+                "n_features": t.column("n_features"),
+                "x0": pc.list_element(xs, 0) if t.num_rows else pa.array([], pa.float64()),
+                "y0": pc.list_element(ys, 0) if t.num_rows else pa.array([], pa.float64()),
+                "x1": pc.list_element(xs, 1) if t.num_rows else pa.array([], pa.float64()),
+                "y1": pc.list_element(ys, 2) if t.num_rows else pa.array([], pa.float64()),
+            }
+        )
+
+    return vec.map_batches(flatten, batch_format="pyarrow", zero_copy_batch=True)
+
+
 # rows-only checks (not SQL-expressible: iterative stitching / ray casting)
 
 
@@ -614,8 +644,7 @@ FROM wfeat WHERE len(cats) > 0
 """
 
     cell_pt = _cell_expr("lon", "lat", TILE_RES)
-    sql["tiles_cover"] = f"""
-WITH {B},
+    feature_pts_cte = f"""
 poi AS (
   SELECT node_id, lon, lat, {node_cats} AS cats
   FROM nodes WHERE {_tagv('name')} <> ''
@@ -632,8 +661,39 @@ pts AS (
   SELECT 'osmway/' || CAST(r.way_id AS VARCHAR) AS feature_id, r.lon, r.lat
   FROM resolved r JOIN wfeat f USING (way_id)
   WHERE len(f.cats) > 0
+),
+cover AS (SELECT DISTINCT feature_id, {cell_pt} AS cell_id FROM pts)
+""".strip()
+
+    sql["tiles_cover"] = f"""
+WITH {B},
+{feature_pts_cte}
+SELECT feature_id, cell_id FROM cover
+"""
+
+    sql["rasterize"] = f"""
+WITH {B},
+{feature_pts_cte}
+SELECT cell_id, CAST(count(*) AS BIGINT) AS n_features FROM cover GROUP BY cell_id
+"""
+
+    s = float(1 << TILE_RES)
+    sql["vectorize"] = f"""
+WITH {B},
+{feature_pts_cte},
+raster AS (SELECT cell_id, CAST(count(*) AS BIGINT) AS n_features FROM cover GROUP BY cell_id),
+comp AS (
+  SELECT cell_id, n_features,
+         (cell_id // 536870912) & 536870911 AS ix,
+         cell_id & 536870911 AS iy
+  FROM raster
 )
-SELECT DISTINCT feature_id, {cell_pt} AS cell_id FROM pts
+SELECT cell_id, n_features,
+       -180.0 + ix * (360.0 / {s}) AS x0,
+       -90.0 + iy * (180.0 / {s}) AS y0,
+       (-180.0 + ix * (360.0 / {s})) + (360.0 / {s}) AS x1,
+       (-90.0 + iy * (180.0 / {s})) + (180.0 / {s}) AS y1
+FROM comp
 """
 
     sql["knn"] = f"""
@@ -690,6 +750,8 @@ OSM_QUERIES = {
     "features_ways": q_features_ways,
     "tiles_cover": q_tiles_cover,
     "knn": q_knn,
+    "rasterize": q_rasterize,
+    "vectorize": q_vectorize,
     # rows-only (non-SQL-expressible: iterative ring stitching, ray casting)
     "relation_features": q_relation_features,
     "pip_assign": q_pip,

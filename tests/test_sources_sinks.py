@@ -1,0 +1,112 @@
+"""Raw OSM XML file source (S1) and GeoJSON-lines sink (K2)."""
+
+import bz2
+import gzip
+import json
+import os
+
+import ray.data as rd
+
+from osm2geojson_ray.sources.osm_xml import read_osm_xml
+from osm2geojson_ray.sources.sinks import feature_to_geojson, write_geojson
+
+XML = """<?xml version="1.0"?>
+<osm version="0.6">
+  <node id="1" lat="52.5" lon="13.4">
+    <tag k="name" v="A"/>
+    <tag k="amenity" v="pub"/>
+  </node>
+  <way id="2">
+    <nd ref="1"/>
+    <nd ref="3"/>
+  </way>
+</osm>
+"""
+
+
+def test_read_osm_xml_plain_gz_bz2(tmp_path):
+    p1 = tmp_path / "a.osm"
+    p1.write_text(XML)
+    p2 = tmp_path / "b.osm.gz"
+    p2.write_bytes(gzip.compress(XML.encode()))
+    p3 = tmp_path / "c.osm.bz2"
+    p3.write_bytes(bz2.compress(XML.encode()))
+    ds = read_osm_xml([str(p1), str(p2), str(p3)])
+    rows = ds.take_all()
+    assert len(rows) == 6  # 2 elements × 3 files
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r["xml"])
+    assert set(by_doc) == {"a.osm", "b.osm.gz", "c.osm.bz2"}
+    for blobs in by_doc.values():
+        assert blobs[0].startswith("<node") and blobs[1].startswith("<way")
+
+
+def _feat(fid, osm_type, gtype, xs, ys, ro=(0,), po=(0,), **kw):
+    return {
+        "feature_id": fid, "osm_type": osm_type, "osm_id": 1, "title": "T",
+        "geom_type": gtype, "xs": list(xs), "ys": list(ys),
+        "ring_offsets": list(ro), "poly_offsets": list(po),
+        "categories": kw.get("categories", ["building"]),
+        "address": kw.get("address", []),
+        "names": kw.get("names", []),
+        "links": kw.get("links", []),
+    }
+
+
+def test_feature_to_geojson_shapes():
+    pt = feature_to_geojson(_feat("osmnode/1", "poi", "Point", [13.4], [52.5]))
+    assert pt["geometry"] == {"type": "Point", "coordinates": [13.4, 52.5]}
+    assert pt["categories"] == {"osm": ["building"]}
+
+    ls = feature_to_geojson(_feat("osmway/2", "way", "LineString", [0, 1], [0, 1]))
+    assert ls["geometry"]["coordinates"] == [[0, 0], [1, 1]]
+
+    poly = feature_to_geojson(
+        _feat("osmway/3", "way", "Polygon", [0, 1, 1, 0, 0, 0.2, 0.8, 0.5, 0.2],
+              [0, 0, 1, 1, 0, 0.2, 0.2, 0.8, 0.2], ro=(0, 5), po=(0,))
+    )
+    coords = poly["geometry"]["coordinates"]
+    assert len(coords) == 2 and coords[0][0] == [0, 0] and len(coords[1]) == 4
+
+    mp = feature_to_geojson(
+        _feat("osmrelation/4", "relation", "MultiPolygon",
+              [0, 1, 0, 0, 5, 6, 5, 5], [0, 0, 1, 0, 5, 5, 6, 5], ro=(0, 4), po=(0, 1))
+    )
+    assert len(mp["geometry"]["coordinates"]) == 2
+
+    withextras = feature_to_geojson(
+        _feat("osmnode/5", "poi", "Point", [1], [2],
+              address=[{"key": "street", "value": "Main"}],
+              names=[{"lang": "de", "values": ["Eins"]}],
+              links=["http://x"])
+    )
+    assert withextras["address"] == {"street": "Main"}
+    assert withextras["name"] == {"de": ["Eins"]}
+    assert withextras["links"] == [{"href": "http://x"}]
+
+
+def test_write_geojson_split(tmp_path):
+    import pyarrow as pa
+
+    from osm2geojson_ray.schema import FEATURES
+
+    feats = rd.from_arrow(
+        pa.Table.from_pylist(
+            [
+                _feat("osmnode/1", "poi", "Point", [1.0], [2.0]),
+                _feat("osmway/2", "way", "LineString", [0.0, 1.0], [0.0, 1.0]),
+            ],
+            schema=FEATURES,
+        )
+    )
+    paths = write_geojson(feats, str(tmp_path / "out"))
+    poi_files = os.listdir(paths["osm-pois"])
+    assert poi_files
+    lines = []
+    for f in poi_files:
+        with open(os.path.join(paths["osm-pois"], f)) as fh:
+            lines.extend(l for l in fh if l.strip())
+    objs = [json.loads(l) for l in lines]
+    assert [o["id"] for o in objs] == ["osmnode/1"]
+    assert objs[0]["geometry"]["type"] == "Point"
