@@ -154,6 +154,97 @@ def assign_points_to_polygons(
     return cands.map_batches(ExactPIP, batch_format="pyarrow", concurrency=(1, 4))
 
 
+def assign_points_to_polygons_shuffle(
+    points: ray.data.Dataset,
+    polygons: ray.data.Dataset,
+    res: int,
+    num_partitions: int = 16,
+) -> ray.data.Dataset:
+    """Shuffle-only PIP assignment — the scale path when the polygon side
+    is too large to broadcast: candidate pairs from the flat cell join are
+    co-grouped with the polygon *geometry* on polygon_id (nested-capable
+    engine join), then tested vectorized per polygon inside the
+    partition.  Same output as assign_points_to_polygons."""
+    import pyarrow as pa
+
+    from ..functions.joins import join_on_unique
+
+    pt_cells = points.map_batches(
+        lambda t: point_cells_batch(t, res), batch_format="pyarrow", zero_copy_batch=True
+    )
+    poly_cells = polygon_cover(polygons, res).map_batches(
+        lambda t: t.rename_columns(["polygon_id", "cell_id"]), batch_format="pyarrow"
+    )
+    cands = flat_join(
+        pt_cells, poly_cells, on=("cell_id",), how="inner", num_partitions=num_partitions
+    )
+    cands = distinct(cands, ["point_id", "polygon_id", "px", "py"], num_parts=num_partitions)
+
+    geom = polygons.map_batches(
+        lambda t: pa.table(
+            {
+                "polygon_id": t.column("feature_id"),
+                "gxs": t.column("xs"),
+                "gys": t.column("ys"),
+                "gro": t.column("ring_offsets"),
+            }
+        ),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    cand_schema = pa.schema(
+        [
+            ("polygon_id", pa.string()),
+            ("point_id", pa.string()),
+            ("px", pa.float64()),
+            ("py", pa.float64()),
+        ]
+    )
+    geom_schema = pa.schema(
+        [
+            ("polygon_id", pa.string()),
+            ("gxs", pa.list_(pa.float64())),
+            ("gys", pa.list_(pa.float64())),
+            ("gro", pa.list_(pa.int32())),
+        ]
+    )
+    cands_sel = cands.map_batches(
+        lambda t: t.select(["polygon_id", "point_id", "px", "py"]),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    joined = join_on_unique(
+        cands_sel, geom, "polygon_id", cand_schema, geom_schema,
+        how="inner", num_parts=num_partitions,
+    )
+
+    def exact(t: pa.Table) -> pa.Table:
+        pids = t.column("polygon_id").to_pylist()
+        px = np.asarray(t.column("px").combine_chunks())
+        py = np.asarray(t.column("py").combine_chunks())
+        gxs = t.column("gxs").to_pylist()
+        gys = t.column("gys").to_pylist()
+        gro = t.column("gro").to_pylist()
+        keep = np.zeros(t.num_rows, dtype=bool)
+        order = np.argsort(np.asarray(pids, dtype=object), kind="stable")
+        i = 0
+        while i < len(order):
+            j = i
+            pid = pids[order[i]]
+            while j < len(order) and pids[order[j]] == pid:
+                j += 1
+            sel = order[i:j]
+            r0 = sel[0]
+            keep[sel] = points_in_polygon(
+                px[sel], py[sel],
+                np.asarray(gxs[r0]), np.asarray(gys[r0]), np.asarray(gro[r0], dtype=np.int64),
+            )
+            i = j
+        return t.filter(pa.array(keep)).select(["point_id", "polygon_id"])
+
+    return joined.map_batches(exact, batch_format="pyarrow", zero_copy_batch=True)
+
+
 # ---------------------------------------------------------------------------
 # kNN: point features → nearest polygon centroids
 # ---------------------------------------------------------------------------

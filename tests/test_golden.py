@@ -1,0 +1,52 @@
+"""F5 golden corpus: end-to-end feature + tile output of the 120-doc
+mini-world, frozen as a JSON snapshot (tests/golden/).  Catches any
+regression in parse → join → feature → tiling semantics that the
+per-stage tests might miss.
+
+Regenerate intentionally with:  OSMRAY_REGEN_GOLDEN=1 pytest tests/test_golden.py
+"""
+
+import gzip
+import json
+import os
+
+import pytest
+
+import ray.data as rd
+
+GOLDEN = os.path.join(os.path.dirname(__file__), "golden", "mini_world.json.gz")
+
+
+def _canonical_features(small_corpus_dir):
+    from osm2geojson_ray.pipelines.osm import OsmPipelineConfig, build
+    from osm2geojson_ray.sources.documents import read_documents
+    from osm2geojson_ray.sources.sinks import feature_to_geojson
+    from osm2geojson_ray.stages.tiling import vertex_cells
+
+    g = build(read_documents(small_corpus_dir), OsmPipelineConfig(num_parts=8))
+    feats = g["features"].materialize()
+    rows = sorted(feats.take_all(), key=lambda r: r["feature_id"])
+    tiles = sorted(
+        (r["feature_id"], r["cell_id"])
+        for r in vertex_cells(feats, 15, num_parts=8).take_all()
+    )
+    return {
+        "features": [feature_to_geojson(r) for r in rows],
+        "tiles": [[f, c] for f, c in tiles],
+    }
+
+
+def test_golden_end_to_end(small_corpus_dir):
+    got = _canonical_features(small_corpus_dir)
+    if os.environ.get("OSMRAY_REGEN_GOLDEN") or not os.path.exists(GOLDEN):
+        os.makedirs(os.path.dirname(GOLDEN), exist_ok=True)
+        with gzip.open(GOLDEN, "wt") as f:
+            json.dump(got, f, sort_keys=True)
+        if not os.environ.get("OSMRAY_REGEN_GOLDEN"):
+            pytest.skip("golden snapshot created; rerun to verify")
+    with gzip.open(GOLDEN, "rt") as f:
+        want = json.load(f)
+    assert got["tiles"] == [tuple(x) if isinstance(x, tuple) else x for x in want["tiles"]] or got["tiles"] == want["tiles"]
+    assert len(got["features"]) == len(want["features"])
+    for a, b in zip(got["features"], want["features"]):
+        assert a == b, f"feature mismatch: {a.get('id')}"
