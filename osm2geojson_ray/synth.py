@@ -328,13 +328,18 @@ def build_documents(n_docs: int) -> pa.Table:
 
 
 def sf_to_n_docs(sf_dir: str) -> int:
-    """Map a driver sf dir (".../sf0.01") to a corpus size."""
+    """Map a driver sf dir (".../sf0.01") to a corpus size.
+
+    Correctness scales (sf ≤ 0.01) stay small so oracle runs are quick;
+    bench scales (sf ≥ 0.05) are sized so parallel compute dominates the
+    per-exchange barrier overhead (≈9.34 elements/doc)."""
     name = os.path.basename(os.path.normpath(sf_dir))
     try:
         sf = float(name.replace("sf", ""))
     except ValueError:
         sf = 0.001
-    return max(50, int(200_000 * sf))
+    factor = 3_000_000 if sf >= 0.05 else 200_000
+    return max(50, int(factor * sf))
 
 
 def ensure_corpus(n_docs: int, docs_per_file: int = 2000) -> str:
