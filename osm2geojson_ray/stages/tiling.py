@@ -330,3 +330,105 @@ def knn_points_to_centroids(
             )
 
     return points.map_batches(KnnBatch, batch_format="pyarrow", concurrency=(1, 4))
+
+
+def knn_cell_ring(
+    points: ray.data.Dataset,
+    polygons: ray.data.Dataset,
+    k: int = 2,
+    index_res: int = 6,
+) -> ray.data.Dataset:
+    """Cell-ring expanding kNN — the scale path: centroids are bucketed
+    on a coarse cell grid in an actor-held index; each point expands
+    Chebyshev rings around its cell until ≥k candidates are in hand, then
+    one more safety ring (a cell-ring at distance r bounds the true
+    nearest beyond ring r-1), then exact top-k on the candidates.
+
+    Exact same result as knn_points_to_centroids (parity-tested) while
+    touching only a neighborhood of the index per point."""
+    import pyarrow.compute as pc
+
+    cents = polygon_centroids(polygons).take_all()
+    ids = np.asarray([r["polygon_id"] for r in cents], dtype=object)
+    order = np.argsort(ids, kind="stable")
+    ids = ids[order]
+    cmat = np.asarray([[cents[i]["cx"], cents[i]["cy"]] for i in order], dtype=np.float64)
+    cell_of = C.cell_ids(cmat[:, 0], cmat[:, 1], index_res) if len(ids) else np.empty(0, np.int64)
+    bref = ray.put((ids, cmat, cell_of))
+
+    class RingKnn:
+        def __init__(self) -> None:
+            ids, cmat, cell_of = ray.get(bref)
+            self.ids, self.cmat = ids, cmat
+            self.buckets: dict[int, np.ndarray] = {}
+            o = np.argsort(cell_of, kind="stable")
+            cs = cell_of[o]
+            bounds = np.concatenate([[0], np.nonzero(cs[1:] != cs[:-1])[0] + 1, [len(cs)]])
+            for b in range(len(bounds) - 1):
+                s, e = bounds[b], bounds[b + 1]
+                if e > s:
+                    self.buckets[int(cs[s])] = o[s:e]
+            self.n_side = 1 << index_res
+
+        def _ring_cells(self, cid: int, ring: int) -> list[int]:
+            cells = C.neighbor_ring(cid, ring).tolist()
+            if ring == 0:
+                return cells
+            inner = set(C.neighbor_ring(cid, ring - 1).tolist())
+            return [c for c in cells if c not in inner]
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            pts = batch.filter(pc.equal(batch.column("geom_type"), "Point"))
+            out_p: list[str] = []
+            out_g: list[str] = []
+            out_r: list[int] = []
+            if pts.num_rows and len(self.ids):
+                px = np.asarray(pts.column("xs").combine_chunks().flatten())
+                py = np.asarray(pts.column("ys").combine_chunks().flatten())
+                pid = pts.column("feature_id").to_pylist()
+                pcell = C.cell_ids(px, py, index_res)
+                _, h_min = C.cell_size_deg(index_res)
+                for i in range(len(pid)):
+                    # exact expanding search: grow rings until the kth-best
+                    # distance provably cannot improve ((ring-1)*h_min
+                    # exceeds it; h_min = smaller cell dimension)
+                    cand: list[np.ndarray] = []
+                    total = 0
+                    ring = 0
+                    dk = None
+                    while ring < self.n_side:
+                        got = [self.buckets[c] for c in self._ring_cells(int(pcell[i]), ring)
+                               if c in self.buckets]
+                        if got:
+                            cand.extend(got)
+                            total += sum(len(g) for g in got)
+                        if total >= k:
+                            sel = np.sort(np.concatenate(cand))
+                            dx = px[i] - self.cmat[sel, 0]
+                            dy = py[i] - self.cmat[sel, 1]
+                            d2 = dx * dx + dy * dy
+                            kk = min(k, len(sel))
+                            part = np.argpartition(d2, kk - 1)[:kk]
+                            dk = float(np.sqrt(d2[part].max()))
+                            if (ring) * h_min > dk:
+                                break
+                        ring += 1
+                    if total == 0:
+                        continue
+                    sel = np.sort(np.concatenate(cand))
+                    dx = px[i] - self.cmat[sel, 0]
+                    dy = py[i] - self.cmat[sel, 1]
+                    d2 = dx * dx + dy * dy
+                    kk = min(k, len(sel))
+                    loc = np.argsort(d2, kind="stable")[:kk]  # sel id-sorted -> ties stable
+                    for r, li in enumerate(loc):
+                        out_p.append(pid[i])
+                        out_g.append(str(self.ids[sel[li]]))
+                        out_r.append(r + 1)
+            return pa.table(
+                {"point_id": pa.array(out_p, pa.string()),
+                 "polygon_id": pa.array(out_g, pa.string()),
+                 "rank": pa.array(out_r, pa.int32())}
+            )
+
+    return points.map_batches(RingKnn, batch_format="pyarrow", concurrency=(1, 4))

@@ -107,3 +107,31 @@ def test_centroid_definition():
     c = polygon_centroids_batch(t).to_pylist()[0]
     # mean over stored vertices incl. closing dup: (0+2+2+0+0)/5, (0+0+2+2+0)/5
     assert c["cx"] == 0.8 and c["cy"] == 0.8
+
+
+def test_knn_cell_ring_matches_bruteforce(small_world):
+    import ray.data as rdd
+
+    from osm2geojson_ray.stages.join import j1_way_nodes, j2_complete_ways
+    from osm2geojson_ray.stages.parse import parse_nodes, parse_ways, way_edges
+    from osm2geojson_ray.stages.postprocess import poi_features, way_features
+    from osm2geojson_ray.stages.tiling import knn_cell_ring, knn_points_to_centroids
+
+    els = rdd.from_arrow(small_world["elements"])
+    nodes = parse_nodes(els).materialize()
+    ways = parse_ways(els).materialize()
+    cw = j2_complete_ways(ways, j1_way_nodes(nodes, way_edges(ways), 8), 8).materialize()
+    points = poi_features(nodes).materialize()
+    polys = way_features(cw).map_batches(
+        lambda t: t.filter(pa.compute.equal(t["geom_type"], "Polygon")),
+        batch_format="pyarrow",
+    ).materialize()
+    brute = sorted(
+        (r["point_id"], r["rank"], r["polygon_id"])
+        for r in knn_points_to_centroids(points, polys, k=3).take_all()
+    )
+    ring = sorted(
+        (r["point_id"], r["rank"], r["polygon_id"])
+        for r in knn_cell_ring(points, polys, k=3, index_res=6).take_all()
+    )
+    assert brute == ring and len(brute) > 0
