@@ -11,7 +11,7 @@ import ray.data
 from ..sources.documents import extract_elements, read_documents
 from ..stages import join as J
 from ..stages import parse as P
-from ..stages.postprocess import poi_features, way_features
+from ..stages.features_vec import poi_features, way_features
 from ..stages.rings import relation_features, ring_rejects
 from ..stages.tiling import (
     assign_points_to_polygons,

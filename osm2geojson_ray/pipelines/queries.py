@@ -25,7 +25,7 @@ from ..functions.grouping import distinct
 from ..sources.documents import extract_elements, read_documents
 from ..stages import join as J
 from ..stages import parse as P
-from ..stages.postprocess import poi_features, way_features
+from ..stages.features_vec import poi_features, way_features
 from ..stages.rings import relation_features
 from ..stages.tiling import knn_points_to_centroids, vertex_cells
 

@@ -97,7 +97,7 @@ def run_checkpointed_flagship(
     from ..sources.documents import extract_elements, read_documents
     from ..stages import join as J
     from ..stages import parse as P
-    from ..stages.postprocess import poi_features, way_features
+    from ..stages.features_vec import poi_features, way_features
     from ..stages.rings import relation_features
 
     cp = CheckpointedPipeline(workdir)

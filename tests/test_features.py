@@ -181,3 +181,32 @@ def test_assemble_rejects_unclosed():
     ways = [_mp_way(10, [1, 2, 3], [(0, 0), (1, 0), (1, 1)])]
     geom, reason = assemble_relation_geometry(members, ways)
     assert geom is None and reason == "unclosed-outer-ring"
+
+
+def test_vectorized_kernels_match_reference(small_world):
+    """features_vec (hot path) ≡ postprocess (per-row reference kernels)."""
+    import ray.data as rdd
+
+    from osm2geojson_ray.stages.features_vec import (
+        poi_features_batch_vec,
+        way_features_batch_vec,
+    )
+    from osm2geojson_ray.stages.join import j1_way_nodes, j2_complete_ways
+    from osm2geojson_ray.stages.parse import way_edges_batch
+    from osm2geojson_ray.schema import COMPLETE_WAYS
+
+    nodes_t = small_world["nodes"]
+    ways_t = small_world["ways"]
+
+    def canon(t):
+        return sorted(t.to_pylist(), key=lambda r: r["feature_id"])
+
+    assert canon(poi_features_batch(nodes_t)) == canon(poi_features_batch_vec(nodes_t))
+
+    cw = j2_complete_ways(
+        rdd.from_arrow(ways_t),
+        j1_way_nodes(rdd.from_arrow(nodes_t), rdd.from_arrow(way_edges_batch(ways_t)), 8),
+        8,
+    ).materialize()
+    cw_t = pa.Table.from_pylist(cw.take_all(), schema=COMPLETE_WAYS)
+    assert canon(way_features_batch(cw_t)) == canon(way_features_batch_vec(cw_t))
