@@ -28,7 +28,7 @@ import pyarrow as pa
 
 import ray.data
 
-from .grouping import PART_COL, partition_map, with_partition_col
+from .grouping import partition_map
 
 SIDE_COL = "__side"
 

@@ -20,7 +20,6 @@ import pyarrow.compute as pc
 import ray.data
 
 from .. import synth
-from ..functions import cells as C
 from ..functions.grouping import distinct
 from ..sources.documents import extract_elements, read_documents
 from ..stages import join as J

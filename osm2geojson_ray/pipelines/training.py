@@ -9,7 +9,6 @@ Hash-based ops are SQL-replicated bit-exactly via
 
 from __future__ import annotations
 
-import numpy as np
 import pyarrow as pa
 
 import ray.data

@@ -9,7 +9,6 @@ driver-side loops."""
 from __future__ import annotations
 
 import hashlib
-import itertools
 
 import numpy as np
 import pandas as pd

@@ -7,7 +7,6 @@ pandas (sort + diff + cumsum) inside each partition."""
 
 from __future__ import annotations
 
-import numpy as np
 import pandas as pd
 import pyarrow as pa
 

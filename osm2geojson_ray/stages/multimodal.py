@@ -11,7 +11,6 @@ for a real decoder to productionize.
 
 from __future__ import annotations
 
-import numpy as np
 import pyarrow as pa
 
 import ray.data

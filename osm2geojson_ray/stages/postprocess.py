@@ -8,7 +8,6 @@ rows (the same per-record work the reference does on every line).
 
 from __future__ import annotations
 
-import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 

@@ -20,7 +20,6 @@ import ray.data
 
 from ..functions.geometry import ensure_orientation, points_in_ring, stitch_rings
 from ..functions.tags import interpret_tags
-from ..schema import FEATURES
 from .postprocess import _FeatureRows, _name_of
 
 RING_REJECTS_SCHEMA = pa.schema(
