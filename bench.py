@@ -25,7 +25,7 @@ SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
 NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
 # --scaling uses a larger fixed corpus so the parallel-compute fraction
 # dominates the per-exchange barrier overhead (same input at both levels)
-SCALE_DOCS = int(os.environ.get("GRAFT_SCALE_DOCS", "300000"))
+SCALE_DOCS = int(os.environ.get("GRAFT_SCALE_DOCS", "600000"))
 # N and 4N parallelism levels for the two-cluster-size proxy.  Default
 # 2→8: a plain-multiprocessing control experiment (BASELINE.md) shows
 # this VM's memory bandwidth stops scaling string workloads past ~8
