@@ -343,21 +343,35 @@ def sf_to_n_docs(sf_dir: str) -> int:
 
 
 def ensure_corpus(n_docs: int, docs_per_file: int = 2000) -> str:
-    """Generate (once) and return the path of the corpus parquet directory."""
+    """Generate (once) and return the path of the corpus parquet directory.
+
+    Concurrency-safe: generation happens in a pid-suffixed temp dir that
+    is atomically renamed into place; racing processes either win the
+    rename or find the winner's _SUCCESS."""
     out_dir = os.path.join(SYNTH_ROOT, f"docs_{n_docs}")
     done = os.path.join(out_dir, "_SUCCESS")
     if os.path.exists(done):
         return out_dir
-    os.makedirs(out_dir, exist_ok=True)
+    tmp_dir = f"{out_dir}.tmp.{os.getpid()}"
+    os.makedirs(tmp_dir, exist_ok=True)
     table = build_documents(n_docs)
     n_files = max(1, (n_docs + docs_per_file - 1) // docs_per_file)
     rows_per = (table.num_rows + n_files - 1) // n_files
     for i in range(n_files):
         chunk = table.slice(i * rows_per, rows_per)
         if chunk.num_rows:
-            pq.write_table(chunk, os.path.join(out_dir, f"part-{i:05d}.parquet"))
-    with open(done, "w") as f:
+            pq.write_table(chunk, os.path.join(tmp_dir, f"part-{i:05d}.parquet"))
+    with open(os.path.join(tmp_dir, "_SUCCESS"), "w") as f:
         f.write(str(n_docs))
+    try:
+        os.rename(tmp_dir, out_dir)
+    except OSError:
+        # another process won the race; use its output
+        import shutil
+
+        shutil.rmtree(tmp_dir, ignore_errors=True)
+        if not os.path.exists(done):
+            raise
     return out_dir
 
 
