@@ -65,6 +65,53 @@ def neighbor_ring(cell_id: int, ring: int) -> np.ndarray:
     return pack(gx.ravel(), gy.ravel(), res)
 
 
+def _incident_cells(gx: np.ndarray, gy: np.ndarray, n: int, res: int) -> np.ndarray:
+    """All cells whose CLOSURE contains each grid-space point: the floor
+    cell, plus the lower neighbor along any axis where the coordinate sits
+    exactly on a grid line (and the 4-cell corner product when both do).
+    Closed-cell semantics are what makes the supercover guarantee exact
+    for crossings/vertices landing on grid lines or collinear runs."""
+    fx = np.floor(gx)
+    fy = np.floor(gy)
+    lx = np.where(gx == fx, fx - 1.0, fx)
+    ly = np.where(gy == fy, fy - 1.0, fy)
+    ix = np.concatenate([fx, lx, fx, lx])
+    iy = np.concatenate([fy, fy, ly, ly])
+    ix = np.clip(ix, 0, n - 1).astype(np.int64)
+    iy = np.clip(iy, 0, n - 1).astype(np.int64)
+    return pack(ix, iy, res)
+
+
+def segment_cells(ax: float, ay: float, bx: float, by: float, n: int, res: int) -> np.ndarray:
+    """Exact grid supercover of one segment given in GRID coordinates
+    (gx = (lon+180)/360*n, gy = (lat+90)/180*n): every cell the segment
+    intersects (closed cells).  Crossing parameters with integer grid
+    lines partition the segment; the midpoint of each piece lies strictly
+    inside one cell, and every crossing/endpoint additionally contributes
+    its incident cells (handles corner-clips and collinear runs the old
+    half-cell sampling could miss)."""
+    ts = [np.array([0.0, 1.0])]
+    dx, dy = bx - ax, by - ay
+    if dx != 0.0:
+        k0, k1 = np.ceil(min(ax, bx)), np.floor(max(ax, bx))
+        if k1 >= k0:
+            ts.append((np.arange(k0, k1 + 1) - ax) / dx)
+    if dy != 0.0:
+        k0, k1 = np.ceil(min(ay, by)), np.floor(max(ay, by))
+        if k1 >= k0:
+            ts.append((np.arange(k0, k1 + 1) - ay) / dy)
+    t = np.unique(np.clip(np.concatenate(ts), 0.0, 1.0))
+    px, py = ax + t * dx, ay + t * dy
+    mids_t = (t[:-1] + t[1:]) / 2.0
+    cells = [_incident_cells(px, py, n, res)]
+    if len(mids_t):
+        mx, my = ax + mids_t * dx, ay + mids_t * dy
+        ix = np.clip(np.floor(mx), 0, n - 1).astype(np.int64)
+        iy = np.clip(np.floor(my), 0, n - 1).astype(np.int64)
+        cells.append(pack(ix, iy, res))
+    return np.concatenate(cells)
+
+
 def polygon_cover(
     xs: np.ndarray,
     ys: np.ndarray,
@@ -73,9 +120,11 @@ def polygon_cover(
     points_in_polygon_fn,
 ) -> np.ndarray:
     """Cell cover of one polygon: bbox cells whose center is inside, plus
-    all boundary cells (edges sampled at sub-cell spacing).  Guarantees
-    that any cell containing an interior point is covered (interior cells
-    have center-inside OR are boundary-crossed)."""
+    the exact supercover of every boundary edge.  Guarantee: any cell
+    containing an interior point is covered — a cell not touched by the
+    boundary that holds an interior point is fully interior, so its
+    center is inside; a cell touched by the boundary (even at a single
+    corner point) is in the edge supercover."""
     xs = np.asarray(xs, np.float64)
     ys = np.asarray(ys, np.float64)
     w, h = cell_size_deg(res)
@@ -90,24 +139,17 @@ def polygon_cover(
     inside = points_in_polygon_fn(cx, cy, xs, ys, np.asarray(ring_offsets))
     interior_cells = pack(gx.ravel()[inside], gy.ravel()[inside], res)
 
-    # boundary cells: sample every edge of every ring at half-cell spacing
+    # boundary cells: exact per-edge supercover in grid space
+    gxs = (xs + 180.0) / 360.0 * n
+    gys = (ys + 90.0) / 180.0 * n
     bounds = list(ring_offsets) + [len(xs)]
-    bx: list[np.ndarray] = []
-    by: list[np.ndarray] = []
+    bcells: list[np.ndarray] = []
     for r in range(len(ring_offsets)):
         s, e = bounds[r], bounds[r + 1]
-        rx, ry = xs[s:e], ys[s:e]
-        x1, y1 = rx[:-1], ry[:-1]
-        x2, y2 = rx[1:], ry[1:]
-        steps = np.maximum(
-            np.ceil(np.maximum(np.abs(x2 - x1) / w, np.abs(y2 - y1) / h) * 2).astype(int), 1
-        )
-        for i in range(len(x1)):
-            t = np.linspace(0.0, 1.0, steps[i] + 1)
-            bx.append(x1[i] + t * (x2[i] - x1[i]))
-            by.append(y1[i] + t * (y2[i] - y1[i]))
-    if bx:
-        boundary_cells = cell_ids(np.concatenate(bx), np.concatenate(by), res)
-    else:
-        boundary_cells = np.empty(0, np.int64)
+        for i in range(s, e - 1):
+            bcells.append(segment_cells(gxs[i], gys[i], gxs[i + 1], gys[i + 1], n, res))
+        if e - s >= 2 and (gxs[s] != gxs[e - 1] or gys[s] != gys[e - 1]):
+            # ring stored without the duplicated closing vertex: wrap edge
+            bcells.append(segment_cells(gxs[e - 1], gys[e - 1], gxs[s], gys[s], n, res))
+    boundary_cells = np.concatenate(bcells) if bcells else np.empty(0, np.int64)
     return np.unique(np.concatenate([interior_cells, boundary_cells]))

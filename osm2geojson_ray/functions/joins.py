@@ -74,6 +74,21 @@ def split_sides(t: pa.Table) -> tuple[pa.Table, pa.Table]:
     return lt, rt
 
 
+def _check_unique(uk_sorted: np.ndarray, key: str) -> None:
+    """The 'unique' join side must really be unique per key: searchsorted
+    alignment would otherwise silently match one arbitrary copy (the
+    reference merge-join iterates all same-key entries —
+    EntryJoiningIterable.java).  Duplicate element ids (same node/way/rel
+    in two shards) are a corpus defect; fail loudly and deterministically
+    instead of emitting run-dependent output."""
+    if len(uk_sorted) > 1 and (uk_sorted[1:] == uk_sorted[:-1]).any():
+        dup = uk_sorted[:-1][uk_sorted[1:] == uk_sorted[:-1]][0]
+        raise ValueError(
+            f"duplicate key on unique join side ({key}={dup!r}); "
+            "dedup the input (e.g. functions.grouping.distinct) first"
+        )
+
+
 def join_unique_np(
     mt: pa.Table,
     ut: pa.Table,
@@ -87,6 +102,7 @@ def join_unique_np(
     uk = np.asarray(ut.column(key)) if ut.num_rows else np.empty(0, np.int64)
     order = np.argsort(uk, kind="stable")
     uk_sorted = uk[order]
+    _check_unique(uk_sorted, key)
     ri = np.searchsorted(uk_sorted, mk)
     ri_clamped = np.minimum(ri, max(len(uk_sorted) - 1, 0))
     if len(uk_sorted) == 0:
@@ -181,6 +197,7 @@ def join_on_unique(
         uk = np.asarray(ut.column(key))
         order = np.argsort(uk, kind="stable")
         uk_sorted = uk[order]
+        _check_unique(uk_sorted, key)
         ri = np.searchsorted(uk_sorted, mk)
         ri_clamped = np.minimum(ri, max(len(uk_sorted) - 1, 0))
         if len(uk_sorted) == 0:

@@ -17,13 +17,19 @@ import re
 
 import numpy as np
 
-# OsmJoin.java:63-68 — ported pattern-for-pattern.
+# OsmJoin.java:63-68 — ported pattern-for-pattern.  The reference's lazy
+# wildcard groups ``(.*?)"`` are rewritten as the equivalent negated
+# classes ``([^\n\x00"]*)"`` — identical matches on any real row (``.``
+# already excludes ``\n``; a lazy group stopping at the first ``"`` can
+# never contain one) with the batch separator ``\x00`` additionally
+# excluded, so a match can never straddle two joined rows even on
+# malformed input (a ``k=`` with no following ``v=``).
 ID_PATTERN = re.compile(r'id="([0-9]+)')
 LAT_PATTERN = re.compile(r'lat="(-?[0-9]+(?:\.[0-9]+)?)')
 LON_PATTERN = re.compile(r'lon="(-?[0-9]+(?:\.[0-9]+)?)')
-KV_PATTERN = re.compile(r'k="(.*?)"\s+v="(.*?)"')
+KV_PATTERN = re.compile(r'k="([^\n\x00"]*)"\s+v="([^\n\x00"]*)"')
 ND_PATTERN = re.compile(r'nd ref="([0-9]+)')
-MEMBER_PATTERN = re.compile(r'member type="(.*?)" ref="([0-9]+)" role="(.*?)"')
+MEMBER_PATTERN = re.compile(r'member type="([^\n\x00"]*)" ref="([0-9]+)" role="([^\n\x00"]*)"')
 
 # Separator that can never appear inside OSM XML text (control char).
 _SEP = "\x00"
@@ -45,13 +51,10 @@ def batch_findall(texts: list[str], pattern: re.Pattern) -> tuple[np.ndarray, li
 
     Returns ``(row_idx, groups)`` where ``row_idx[i]`` is the row of match i
     and ``groups[i]`` is the match's group tuple.  Matches cannot straddle
-    rows because the separator is ``\\x00`` and the patterns never match it
-    (all wildcard groups are lazy ``.*?`` which excludes newlines/NULs via
-    ``.`` not matching ``\\n``?  ``.`` does match NUL — but every pattern
-    requires literal anchors (``k="``, ``nd ref="``) and terminating quotes,
-    and the generator/OSM data never contain NUL inside attributes; the
-    lazy groups therefore never span the sentinel in practice and the
-    searchsorted row assignment uses the *start* offset only).
+    rows: every wildcard group in the pattern battery explicitly excludes
+    the ``\\x00`` separator (see pattern definitions above), and every
+    fixed part of each pattern is separator-free, so no match can span two
+    joined rows even on malformed input.
     """
     if not texts:
         return np.empty(0, dtype=np.int64), []

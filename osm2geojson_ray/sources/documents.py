@@ -79,10 +79,16 @@ def chunk_span_lines(text: str) -> list[str]:
 
 
 def chunk_span_regex(text: str) -> list[str]:
-    """Regex fast-path chunker; blobs normalized like the line chunker
-    (continuation lines joined without their leading newline+indent being
-    collapsed — the reference concatenates raw lines, dropping the '\\n')."""
-    return [_WS_RE.sub(lambda m: m.group(0)[1:], m.group(0)) for m in _BLOB_RE.finditer(text)]
+    """Regex fast-path chunker; blobs normalized like the line chunker:
+    the reference concatenates raw lines into one StringBuilder, so EVERY
+    newline disappears while all other whitespace (indentation, blank-line
+    spaces) is kept — hence ``replace("\\n", "")`` over each whitespace
+    run, which also keeps the two chunkers equal on blank lines inside an
+    element (equality-tested in tests/test_sources_sinks.py)."""
+    return [
+        _WS_RE.sub(lambda m: m.group(0).replace("\n", ""), m.group(0))
+        for m in _BLOB_RE.finditer(text)
+    ]
 
 
 def read_documents(path: str, **kwargs) -> ray.data.Dataset:

@@ -61,6 +61,47 @@ def geojson_rows_batch(batch: pa.Table) -> list[dict]:
     return [feature_to_geojson(r) for r in batch.to_pylist()]
 
 
+class GeoJSONLinesSink(ray.data.Datasink):
+    """Batch-wise JSON-lines GeoJSON sink: each write task serializes its
+    Arrow blocks directly (no per-row flat_map stage, absent optional
+    fields genuinely omitted from the JSON), one part file per task —
+    resumable partitioned output, never one giant file."""
+
+    def __init__(self, path: str) -> None:
+        self.path = path
+
+    def on_write_start(self) -> None:
+        import os
+        import shutil
+
+        # a re-run must replace, not append to, a previous (possibly
+        # partial) output — mirrors CheckpointedPipeline.stage's wipe
+        if os.path.exists(self.path):
+            shutil.rmtree(self.path)
+        os.makedirs(self.path, exist_ok=True)
+
+    def write(self, blocks, ctx) -> int:
+        import json
+        import os
+
+        n = 0
+        out = os.path.join(self.path, f"part-{ctx.task_idx:06d}.jsonl")
+        tmp = out + ".tmp"
+        with open(tmp, "w") as f:
+            for block in blocks:
+                for obj in geojson_rows_batch(block):
+                    f.write(json.dumps(obj) + "\n")
+                    n += 1
+        if n:
+            os.rename(tmp, out)
+        else:
+            os.remove(tmp)  # don't litter the output with empty parts
+        return n
+
+    def get_name(self) -> str:
+        return "GeoJSONLines"
+
+
 def write_geojson(
     features: ray.data.Dataset, out_dir: str, split_by_type: bool = True, sort: bool = False
 ) -> dict[str, str]:
@@ -86,8 +127,7 @@ def write_geojson(
             )
         if sort:
             ds = ds.sort("feature_id")
-        rows = ds.flat_map(lambda row: [feature_to_geojson(row)])
         path = f"{out_dir}/{name}"
-        rows.write_json(path)
+        ds.write_datasink(GeoJSONLinesSink(path))
         paths[name] = path
     return paths

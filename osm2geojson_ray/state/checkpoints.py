@@ -23,6 +23,18 @@ import time
 import ray.data
 
 
+def _parquet_rows(dirpath: str) -> int:
+    """Total row count of a parquet directory from file footers only."""
+    import pyarrow.parquet as pq
+
+    total = 0
+    for root, _dirs, files in os.walk(dirpath):
+        for f in files:
+            if f.endswith(".parquet"):
+                total += pq.ParquetFile(os.path.join(root, f)).metadata.num_rows
+    return total
+
+
 class CheckpointedPipeline:
     def __init__(self, workdir: str) -> None:
         self.workdir = workdir
@@ -69,7 +81,9 @@ class CheckpointedPipeline:
             shutil.rmtree(sdir)
         ds.write_parquet(sdir)
         out = ray.data.read_parquet(sdir)
-        rows = out.count()
+        # row count from the parquet footers (metadata-only) — not a
+        # second full pass over the stage output
+        rows = _parquet_rows(sdir)
         seconds = time.perf_counter() - t0
         with open(self._manifest(name), "w") as f:
             json.dump({"rows": rows, "seconds": round(seconds, 3),

@@ -152,3 +152,24 @@ def test_salted_dag_matches_unsalted(small_world):
         for r in dag["complete_relations"].take_all()
     }
     assert got_cr == exp_cr
+
+
+def test_join_on_unique_rejects_duplicate_keys(ray_session):
+    # ADVICE r1: duplicate ids on the 'unique' side must fail loudly, not
+    # silently join one arbitrary copy
+    import pyarrow as pa
+    import pytest
+    import ray.data as rd
+
+    from osm2geojson_ray.functions.joins import join_on_unique
+
+    many = rd.from_arrow(pa.table({"k": [1, 2], "a": ["x", "y"]}))
+    uniq = rd.from_arrow(pa.table({"k": [1, 1, 2], "b": ["p", "q", "r"]}))
+    out = join_on_unique(
+        many, uniq, "k",
+        pa.schema([("k", pa.int64()), ("a", pa.string())]),
+        pa.schema([("k", pa.int64()), ("b", pa.string())]),
+        num_parts=2,
+    )
+    with pytest.raises(Exception, match="duplicate key"):
+        out.take_all()

@@ -168,3 +168,27 @@ def test_corpus_parse_counts(small_world):
     assert n_nodes == s["n_nodes"] - expected_rejects + 9 * s["n_mp"]
     assert w["ways"].num_rows == s["n_ways"] + 3 * s["n_mp"]
     assert w["relations"].num_rows == s["n_rels"]
+
+
+def test_chunkers_agree_on_blank_line_inside_element():
+    # ADVICE r1: a blank line inside an element must not leave a residual
+    # newline in the regex chunker's blob
+    text = '<node id="1" lat="1" lon="2">\n\n  <tag k="a" v="b"/>\n</node>'
+    a = chunk_span_lines(text)
+    b = chunk_span_regex(text)
+    assert a == b
+    assert "\n" not in b[0]
+    # whitespace-only line variant
+    text2 = '<way id="2">\n  \n  <nd ref="1"/>\n</way>'
+    assert chunk_span_lines(text2) == chunk_span_regex(text2)
+
+
+def test_kv_match_cannot_straddle_rows():
+    # ADVICE r1: a malformed k= with no following v= must not pick up a
+    # v= from the NEXT row in the batch (sentinel-crossing match)
+    broken = '<node id="1" lat="1" lon="2"><tag k="broken"/></node>'
+    victim = '<node id="2" lat="1" lon="2"><tag k="x" v="evil"/></node>'
+    t = parse.parse_nodes_batch(_els([broken, victim]))
+    rows = {r["node_id"]: r["tags"] for r in t.to_pylist()}
+    assert rows[1] == []  # no garbage tag assembled across rows
+    assert rows[2] == [{"key": "x", "value": "evil"}]

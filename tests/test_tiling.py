@@ -135,3 +135,31 @@ def test_knn_cell_ring_matches_bruteforce(small_world):
         for r in knn_cell_ring(points, polys, k=3, index_res=6).take_all()
     )
     assert brute == ring and len(brute) > 0
+
+
+def test_polygon_cover_corner_clip_exact():
+    # a thin diagonal chord clips the NE cell at the (0,0) grid corner
+    # (cell center far outside): the exact supercover must include it —
+    # the old half-cell edge sampling missed it (ADVICE r1)
+    res = 3  # 45 x 22.5 degree cells; corner (0,0) is a grid corner
+    xs = np.array([-1.0, 1.2, -1.0, -1.0])
+    ys = np.array([1.2, -1.0, -1.0, 1.2])
+    cover = set(C.polygon_cover(xs, ys, np.array([0]), res, points_in_polygon).tolist())
+    ne_cell = int(C.cell_ids(np.array([0.05]), np.array([0.05]), res)[0])
+    assert ne_cell in cover
+    # interior sampling invariant still holds
+    rng = np.random.RandomState(3)
+    px = rng.uniform(-0.99, 0.0, 100)
+    py = rng.uniform(-0.99, 0.0, 100)
+    assert set(C.cell_ids(px, py, res).tolist()) <= cover
+
+
+def test_segment_cells_collinear_on_grid_line():
+    # a segment running exactly along a grid line covers cells on BOTH sides
+    res = 3
+    n = 1 << res
+    # grid-space segment along gy = 4 (lat = 0), from gx=3.2 to gx=4.8
+    cells = set(C.segment_cells(3.2, 4.0, 4.8, 4.0, n, res).tolist())
+    below = int(C.pack(np.array([3]), np.array([3]), res)[0])
+    above = int(C.pack(np.array([3]), np.array([4]), res)[0])
+    assert below in cells and above in cells

@@ -49,8 +49,16 @@ def main() -> int:
     cp = out["pipeline"]
     features = out["features"]
     tiles = vertex_cells(features, args.tile_res, num_parts=args.num_parts)
-    tiles.write_parquet(f"{args.workdir}/tiles")
+    # post-checkpoint outputs must be replaced, not appended (Ray's
+    # write_parquet defaults to append): wipe any copy a crashed or
+    # previous run left behind before writing
+    tiles_dir = f"{args.workdir}/tiles"
+    import shutil
+
+    shutil.rmtree(tiles_dir, ignore_errors=True)
+    tiles.write_parquet(tiles_dir)
     if args.out:
+        # write_geojson's sink wipes its own output dirs before writing
         write_geojson(features, args.out, sort=args.sort_output)
     summary = {
         "executed": cp.executed,
