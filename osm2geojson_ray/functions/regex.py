@@ -5,10 +5,16 @@ The reference parses OSM XML with six compiled regexes, no XML parser
 semantics (attribute-order tolerance, first-match-wins, lazy groups), so
 they are reproduced here verbatim as Python patterns.
 
-To keep the hot path out of per-row Python, ``batch_findall`` runs one
-``finditer`` over a single separator-joined blob of the whole batch and
-maps matches back to rows with ``numpy.searchsorted`` — one C regex scan
-per batch instead of one per row.
+Hot-path discipline (the parse stage is the pipeline's bandwidth-bound
+stage): first-match extraction (id/lat/lon) runs entirely in Arrow C++
+via ``pyarrow.compute.extract_regex`` (RE2, leftmost-first — same
+semantics as Java ``Matcher.find()``), and findall extraction (tags, nd
+refs, members) runs one bytes-mode ``finditer`` directly over the Arrow
+string column's UTF-8 data buffer — the batch's strings are NEVER
+materialized as Python objects; only the matched groups are.  Rows are
+delimited by a ``\\x00`` sentinel scattered into the buffer in one
+vectorized pass, and every pattern group excludes the sentinel, so
+matches cannot straddle rows.
 """
 
 from __future__ import annotations
@@ -16,6 +22,8 @@ from __future__ import annotations
 import re
 
 import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
 
 # OsmJoin.java:63-68 — ported pattern-for-pattern.  The reference's lazy
 # wildcard groups ``(.*?)"`` are rewritten as the equivalent negated
@@ -31,53 +39,70 @@ KV_PATTERN = re.compile(r'k="([^\n\x00"]*)"\s+v="([^\n\x00"]*)"')
 ND_PATTERN = re.compile(r'nd ref="([0-9]+)')
 MEMBER_PATTERN = re.compile(r'member type="([^\n\x00"]*)" ref="([0-9]+)" role="([^\n\x00"]*)"')
 
-# Separator that can never appear inside OSM XML text (control char).
-_SEP = "\x00"
+# bytes-mode twins of the findall patterns (ASCII patterns are UTF-8-safe:
+# every anchor/terminator byte is ASCII, and no UTF-8 continuation byte can
+# equal '"', '\n' or '\x00', so byte-level matching never splits a rune).
+KV_PATTERN_B = re.compile(KV_PATTERN.pattern.encode())
+ND_PATTERN_B = re.compile(ND_PATTERN.pattern.encode())
+MEMBER_PATTERN_B = re.compile(MEMBER_PATTERN.pattern.encode())
+
+# RE2 (pyarrow.compute.extract_regex) named-group forms of the first-match
+# patterns; leftmost-first search == Java Matcher.find() on these patterns
+# (they are pure regular patterns, no backtracking subtleties).
+ID_RE2 = 'id="(?P<v>[0-9]+)'
+LAT_RE2 = 'lat="(?P<v>-?[0-9]+(?:\\.[0-9]+)?)'
+LON_RE2 = 'lon="(?P<v>-?[0-9]+(?:\\.[0-9]+)?)'
 
 
-def _join_with_offsets(texts: list[str]) -> tuple[str, np.ndarray]:
-    """Join texts with a sentinel; return blob + start offset of each row."""
-    starts = np.empty(len(texts) + 1, dtype=np.int64)
-    pos = 0
-    for i, t in enumerate(texts):
-        starts[i] = pos
-        pos += len(t) + 1
-    starts[len(texts)] = pos
-    return _SEP.join(texts) + _SEP, starts
+def extract_first(arr: pa.Array, pattern: str) -> pa.Array:
+    """First-match group ``v`` of ``pattern`` per row (null = no match),
+    fully inside Arrow C++ — no Python string materialization."""
+    return pc.struct_field(pc.extract_regex(arr, pattern=pattern), "v")
 
 
-def batch_findall(texts: list[str], pattern: re.Pattern) -> tuple[np.ndarray, list[tuple]]:
-    """All matches of ``pattern`` across a batch of rows.
+def _string_buffer(arr: pa.Array) -> tuple[np.ndarray, np.ndarray]:
+    """Zero-copy view of a StringArray's UTF-8 payload: (uint8 data over
+    exactly this array's rows, int64 per-row start offsets rel. to 0)."""
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    off_dtype = np.int64 if pa.types.is_large_string(arr.type) else np.int32
+    offs = np.frombuffer(arr.buffers()[1], dtype=off_dtype)[
+        arr.offset : arr.offset + len(arr) + 1
+    ].astype(np.int64)
+    data = np.frombuffer(arr.buffers()[2], dtype=np.uint8)[offs[0] : offs[-1]]
+    return data, offs - offs[0]
 
-    Returns ``(row_idx, groups)`` where ``row_idx[i]`` is the row of match i
-    and ``groups[i]`` is the match's group tuple.  Matches cannot straddle
-    rows: every wildcard group in the pattern battery explicitly excludes
-    the ``\\x00`` separator (see pattern definitions above), and every
-    fixed part of each pattern is separator-free, so no match can span two
-    joined rows even on malformed input.
-    """
-    if not texts:
+
+def batch_findall(arr: pa.Array | pa.ChunkedArray, pattern_b: re.Pattern) -> tuple[np.ndarray, list[tuple]]:
+    """All matches of bytes-pattern ``pattern_b`` across an Arrow string
+    column.  Returns ``(row_idx, groups)``: ``row_idx`` ascending (finditer
+    order), ``groups[i]`` the match's group tuple (bytes).  One vectorized
+    scatter builds a sentinel-delimited bytes blob straight from the
+    column's data buffer; one C regex scan finds every match; matches
+    cannot straddle rows (patterns exclude the sentinel)."""
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    n = len(arr)
+    if n == 0:
         return np.empty(0, dtype=np.int64), []
-    blob, starts = _join_with_offsets(texts)
+    data, starts = _string_buffer(arr)
+    # sentinel after each row: one vectorized mask-scatter pass (np.insert
+    # measured 5-30x slower on real buffers)
+    sstarts = starts + np.arange(n + 1, dtype=np.int64)
+    out = np.zeros(starts[-1] + n, dtype=np.uint8)
+    mask = np.ones(len(out), dtype=bool)
+    mask[sstarts[1:] - 1] = False
+    out[mask] = data
+    blob = out.tobytes()
     positions: list[int] = []
     groups: list[tuple] = []
-    for m in pattern.finditer(blob):
+    for m in pattern_b.finditer(blob):
         positions.append(m.start())
         groups.append(m.groups())
     if not positions:
         return np.empty(0, dtype=np.int64), []
-    row_idx = np.searchsorted(starts, np.asarray(positions, dtype=np.int64), side="right") - 1
+    row_idx = np.searchsorted(sstarts, np.asarray(positions, dtype=np.int64), side="right") - 1
     return row_idx, groups
-
-
-def batch_first_match(texts: list[str], pattern: re.Pattern) -> list[tuple | None]:
-    """First match per row (Java ``Matcher.find()`` semantics) or None."""
-    row_idx, groups = batch_findall(texts, pattern)
-    out: list[tuple | None] = [None] * len(texts)
-    for r, g in zip(row_idx.tolist(), groups):
-        if out[r] is None:
-            out[r] = g
-    return out
 
 
 # ---------------------------------------------------------------------------

@@ -1,27 +1,36 @@
 """Vectorized parsers P1-P4 (SURVEY.md §2.3; OsmJoin.java:155-256).
 
 Each kernel is a pure batch transform (Arrow in → Arrow out) suitable for
-``Dataset.map_batches(batch_format="pyarrow", zero_copy_batch=True)``.  Regex battery and
-first-match semantics are pinned to OsmJoin.java:63-68; the node-only
-XML-unescape quirk (:170 vs :198) is replicated.
+``Dataset.map_batches(batch_format="pyarrow", zero_copy_batch=True)``.
+Regex battery and first-match semantics are pinned to OsmJoin.java:63-68;
+the node-only XML-unescape quirk (:170 vs :198) is replicated.
+
+Hot-path discipline: the batch's XML strings are never materialized as
+Python objects — kind dispatch is ``pc.starts_with``, id/lat/lon are
+``pc.extract_regex`` (Arrow C++/RE2), and tag/nd/member findall runs one
+bytes regex scan over the column's UTF-8 buffer (functions/regex.py);
+tag dedup (first-occurrence order, last-value-wins) is a vectorized
+factorize/unique pass instead of a per-row dict loop.
 """
 
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 
 import ray.data
 
 from ..functions.regex import (
-    ID_PATTERN,
-    KV_PATTERN,
-    LAT_PATTERN,
-    LON_PATTERN,
-    MEMBER_PATTERN,
-    ND_PATTERN,
+    ID_RE2,
+    KV_PATTERN_B,
+    LAT_RE2,
+    LON_RE2,
+    MEMBER_PATTERN_B,
+    ND_PATTERN_B,
     batch_findall,
-    batch_first_match,
+    extract_first,
     unescape_xml,
 )
 from ..schema import NODES, RELATIONS, REJECTS, WAYS
@@ -30,47 +39,54 @@ from ..schema import NODES, RELATIONS, REJECTS, WAYS
 # helpers
 # ---------------------------------------------------------------------------
 
-
-def _kind_masks(xmls: list[str]) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
-    """Dispatch by blob prefix (OsmJoin.java:119-127).  Blobs are stripped
-    by the chunker, so a plain startswith suffices."""
-    node = np.fromiter((x.startswith("<node") for x in xmls), bool, len(xmls))
-    way = np.fromiter((x.startswith("<way") for x in xmls), bool, len(xmls))
-    rel = np.fromiter((x.startswith("<relation") for x in xmls), bool, len(xmls))
-    return node, way, rel
+_EMPTY_TAGS_STRUCT = pa.StructArray.from_arrays(
+    [pa.array([], pa.string()), pa.array([], pa.string())], names=["key", "value"]
+)
 
 
-def _select(batch: pa.Table, mask: np.ndarray) -> tuple[pa.Table, list[str]]:
-    sub = batch.filter(pa.array(mask))
-    return sub, sub.column("xml").to_pylist()
-
-
-def _tags_arrays(xmls: list[str], unescape: bool) -> pa.ListArray:
+def _tags_arrays(arr: pa.Array, unescape: bool) -> pa.ListArray:
     """Per-row tag list with first-occurrence order + last-value-wins on
     duplicate keys (jsonj JsonObject semantics, OsmJoin.java:167-171).
-    ``unescape`` only for nodes (OsmJoin.java:170; ways/rels :198 keep raw)."""
-    row_idx, groups = batch_findall(xmls, KV_PATTERN)
-    n = len(xmls)
-    per_row_keys: list[list[str]] = [[] for _ in range(n)]
-    per_row_map: list[dict] = [{} for _ in range(n)]
-    for r, (k, v) in zip(row_idx.tolist(), groups):
-        m = per_row_map[r]
-        if k not in m:
-            per_row_keys[r].append(k)
-        m[k] = unescape_xml(v) if unescape else v
-    keys_flat: list[str] = []
-    vals_flat: list[str] = []
+    ``unescape`` only for nodes (OsmJoin.java:170; ways/rels :198 keep raw).
+
+    Vectorized: one bytes regex scan over the column buffer, then a
+    factorize + unique pass that computes, per (row, key) group, the first
+    occurrence (ordering) and the last occurrence (value) — no per-row
+    Python loop; the only residual Python is entity unescape on the few
+    values containing '&'.
+    """
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    n = len(arr)
     offsets = np.zeros(n + 1, dtype=np.int32)
-    for r in range(n):
-        ks = per_row_keys[r]
-        m = per_row_map[r]
-        keys_flat.extend(ks)
-        vals_flat.extend(m[k] for k in ks)
-        offsets[r + 1] = len(keys_flat)
-    struct = pa.StructArray.from_arrays(
-        [pa.array(keys_flat, pa.string()), pa.array(vals_flat, pa.string())],
-        names=["key", "value"],
-    )
+    row_idx, groups = batch_findall(arr, KV_PATTERN_B)
+    if not groups:
+        return pa.ListArray.from_arrays(pa.array(offsets), _EMPTY_TAGS_STRUCT)
+    m = len(groups)
+    keys = np.empty(m, dtype=object)
+    vals = np.empty(m, dtype=object)
+    for i, (k, v) in enumerate(groups):
+        keys[i] = k
+        vals[i] = v
+    kcodes, _ = pd.factorize(keys)
+    n_keys = int(kcodes.max()) + 1
+    combo = row_idx * n_keys + kcodes
+    uniq, first_idx = np.unique(combo, return_index=True)
+    _, rev_idx = np.unique(combo[::-1], return_index=True)
+    last_idx = m - 1 - rev_idx  # same (sorted) alignment as uniq
+    order = np.lexsort((first_idx, uniq // n_keys))  # by row, then first occurrence
+    g_row = (uniq // n_keys)[order]
+    out_keys = keys[first_idx[order]]
+    out_vals = vals[last_idx[order]]
+    if unescape:
+        for i, v in enumerate(out_vals):
+            if b"&" in v:
+                out_vals[i] = unescape_xml(v.decode()).encode()
+    counts = np.bincount(g_row, minlength=n)
+    np.cumsum(counts, out=offsets[1:])
+    karr = pa.array(out_keys, pa.binary()).cast(pa.string())
+    varr = pa.array(out_vals, pa.binary()).cast(pa.string())
+    struct = pa.StructArray.from_arrays([karr, varr], names=["key", "value"])
     return pa.ListArray.from_arrays(pa.array(offsets), struct)
 
 
@@ -86,27 +102,29 @@ def _list_from_matches(
     return pa.ListArray.from_arrays(pa.array(offsets), values), pos, offsets
 
 
+def _int64_from_bytes(byte_vals: list[bytes]) -> pa.Array:
+    """Decimal bytes → int64 via Arrow casts (no Python int parsing)."""
+    return pa.array(byte_vals, pa.binary()).cast(pa.string()).cast(pa.int64())
+
+
 # ---------------------------------------------------------------------------
 # P2 parseNode (OsmJoin.java:155-184)
 # ---------------------------------------------------------------------------
 
 
 def parse_nodes_batch(batch: pa.Table) -> pa.Table:
-    node_mask, _, _ = _kind_masks(batch.column("xml").to_pylist())
-    sub, xmls = _select(batch, node_mask)
-    ids = batch_first_match(xmls, ID_PATTERN)
-    lats = batch_first_match(xmls, LAT_PATTERN)
-    lons = batch_first_match(xmls, LON_PATTERN)
-    ok = np.fromiter(
-        (i is not None and la is not None and lo is not None for i, la, lo in zip(ids, lats, lons)),
-        bool,
-        len(xmls),
-    )
-    keep = [i for i, v in enumerate(ok) if v]
-    node_id = pa.array([int(ids[i][0]) for i in keep], pa.int64())
-    lon = pa.array([float(lons[i][0]) for i in keep], pa.float64())
-    lat = pa.array([float(lats[i][0]) for i in keep], pa.float64())
-    tags = _tags_arrays([xmls[i] for i in keep], unescape=True)
+    xml = batch.column("xml")
+    sub = batch.filter(pc.starts_with(xml, "<node"))
+    arr = sub.column("xml").combine_chunks()
+    ids = extract_first(arr, ID_RE2)
+    lats = extract_first(arr, LAT_RE2)
+    lons = extract_first(arr, LON_RE2)
+    ok = pc.and_(pc.and_(ids.is_valid(), lats.is_valid()), lons.is_valid())
+    arr_k = arr.filter(ok)
+    node_id = ids.filter(ok).cast(pa.int64())
+    lon = lons.filter(ok).cast(pa.float64())
+    lat = lats.filter(ok).cast(pa.float64())
+    tags = _tags_arrays(arr_k, unescape=True)
     return pa.Table.from_arrays([node_id, lon, lat, tags], schema=NODES)
 
 
@@ -116,16 +134,17 @@ def parse_nodes_batch(batch: pa.Table) -> pa.Table:
 
 
 def parse_ways_batch(batch: pa.Table) -> pa.Table:
-    _, way_mask, _ = _kind_masks(batch.column("xml").to_pylist())
-    sub, xmls = _select(batch, way_mask)
-    ids = batch_first_match(xmls, ID_PATTERN)
-    keep = [i for i, v in enumerate(ids) if v is not None]
-    xmls_k = [xmls[i] for i in keep]
-    way_id = pa.array([int(ids[i][0]) for i in keep], pa.int64())
-    tags = _tags_arrays(xmls_k, unescape=False)
-    row_idx, groups = batch_findall(xmls_k, ND_PATTERN)
-    refs = pa.array([int(g[0]) for g in groups], pa.int64())
-    ns, _, _ = _list_from_matches(len(xmls_k), row_idx, refs)
+    xml = batch.column("xml")
+    sub = batch.filter(pc.starts_with(xml, "<way"))
+    arr = sub.column("xml").combine_chunks()
+    ids = extract_first(arr, ID_RE2)
+    ok = ids.is_valid()
+    arr_k = arr.filter(ok)
+    way_id = ids.filter(ok).cast(pa.int64())
+    tags = _tags_arrays(arr_k, unescape=False)
+    row_idx, groups = batch_findall(arr_k, ND_PATTERN_B)
+    refs = _int64_from_bytes([g[0] for g in groups])
+    ns, _, _ = _list_from_matches(len(arr_k), row_idx, refs)
     return pa.Table.from_arrays([way_id, tags, ns], schema=WAYS)
 
 
@@ -135,34 +154,32 @@ def parse_ways_batch(batch: pa.Table) -> pa.Table:
 
 
 def parse_relations_batch(batch: pa.Table) -> pa.Table:
-    _, _, rel_mask = _kind_masks(batch.column("xml").to_pylist())
-    sub, xmls = _select(batch, rel_mask)
-    ids = batch_first_match(xmls, ID_PATTERN)
-    keep = [i for i, v in enumerate(ids) if v is not None]
-    xmls_k = [xmls[i] for i in keep]
-    rel_id = pa.array([int(ids[i][0]) for i in keep], pa.int64())
-    tags = _tags_arrays(xmls_k, unescape=False)
-    row_idx, groups = batch_findall(xmls_k, MEMBER_PATTERN)
+    xml = batch.column("xml")
+    sub = batch.filter(pc.starts_with(xml, "<relation"))
+    arr = sub.column("xml").combine_chunks()
+    ids = extract_first(arr, ID_RE2)
+    ok = ids.is_valid()
+    arr_k = arr.filter(ok)
+    rel_id = ids.filter(ok).cast(pa.int64())
+    tags = _tags_arrays(arr_k, unescape=False)
+    row_idx, groups = batch_findall(arr_k, MEMBER_PATTERN_B)
     # keep only way/node members, case-insensitive (OsmJoin.java:239-249);
     # 'relation' members ignored (FIXME :245-246), unknown types skipped.
-    f_rows: list[int] = []
-    f_ids: list[int] = []
-    f_types: list[str] = []
-    f_roles: list[str] = []
-    for r, (mtype, ref, role) in zip(row_idx.tolist(), groups):
-        t = mtype.lower()
-        if t == "way" or t == "node":
-            f_rows.append(r)
-            f_ids.append(int(ref))
-            f_types.append(mtype)
-            f_roles.append(role)
-    struct = pa.StructArray.from_arrays(
-        [pa.array(f_ids, pa.int64()), pa.array(f_types, pa.string()), pa.array(f_roles, pa.string())],
-        names=["id", "type", "role"],
-    )
-    members, _, _ = _list_from_matches(
-        len(xmls_k), np.asarray(f_rows, dtype=np.int64), struct
-    )
+    if groups:
+        types_s = np.asarray([g[0] for g in groups], dtype="S")
+        mask = np.isin(np.char.lower(types_s), [b"way", b"node"])
+        sel = np.nonzero(mask)[0]
+        f_rows = row_idx[sel]
+        f_ids = _int64_from_bytes([groups[i][1] for i in sel.tolist()])
+        f_types = pa.array([groups[i][0] for i in sel.tolist()], pa.binary()).cast(pa.string())
+        f_roles = pa.array([groups[i][2] for i in sel.tolist()], pa.binary()).cast(pa.string())
+    else:
+        f_rows = np.empty(0, np.int64)
+        f_ids = pa.array([], pa.int64())
+        f_types = pa.array([], pa.string())
+        f_roles = pa.array([], pa.string())
+    struct = pa.StructArray.from_arrays([f_ids, f_types, f_roles], names=["id", "type", "role"])
+    members, _, _ = _list_from_matches(len(arr_k), f_rows, struct)
     return pa.Table.from_arrays([rel_id, tags, members], schema=RELATIONS)
 
 
@@ -172,36 +189,36 @@ def parse_relations_batch(batch: pa.Table) -> pa.Table:
 
 
 def rejects_batch(batch: pa.Table) -> pa.Table:
-    xml_list = batch.column("xml").to_pylist()
-    node_mask, way_mask, rel_mask = _kind_masks(xml_list)
-    doc_id = batch.column("doc_id").to_pylist()
-    span_idx = batch.column("span_idx").to_pylist()
-    elem_idx = batch.column("elem_idx").to_pylist()
-    ids = batch_first_match(xml_list, ID_PATTERN)
-    lats = batch_first_match(xml_list, LAT_PATTERN)
-    lons = batch_first_match(xml_list, LON_PATTERN)
-    rows = {k: [] for k in ("doc_id", "span_idx", "elem_idx", "kind", "reason", "xml")}
-    for i, x in enumerate(xml_list):
-        if node_mask[i]:
-            kind = "node"
-            reason = (
-                "no-id" if ids[i] is None
-                else ("no-coordinates" if lats[i] is None or lons[i] is None else None)
-            )
-        elif way_mask[i]:
-            kind, reason = "way", ("no-id" if ids[i] is None else None)
-        elif rel_mask[i]:
-            kind, reason = "relation", ("no-id" if ids[i] is None else None)
-        else:
-            kind, reason = "unknown", "unexpected-blob-type"  # OsmJoin.java:125-127
-        if reason is not None:
-            rows["doc_id"].append(doc_id[i])
-            rows["span_idx"].append(span_idx[i])
-            rows["elem_idx"].append(elem_idx[i])
-            rows["kind"].append(kind)
-            rows["reason"].append(reason)
-            rows["xml"].append(x)
-    return pa.Table.from_pydict(rows, schema=REJECTS)
+    xml = batch.column("xml").combine_chunks()
+    node_m = np.asarray(pc.starts_with(xml, "<node"))
+    way_m = np.asarray(pc.starts_with(xml, "<way"))
+    rel_m = np.asarray(pc.starts_with(xml, "<relation"))
+    has_id = np.asarray(extract_first(xml, ID_RE2).is_valid())
+    has_lat = np.asarray(extract_first(xml, LAT_RE2).is_valid())
+    has_lon = np.asarray(extract_first(xml, LON_RE2).is_valid())
+    n = len(xml)
+    kind = np.full(n, "unknown", dtype=object)
+    kind[node_m] = "node"
+    kind[way_m] = "way"
+    kind[rel_m] = "relation"
+    reason = np.full(n, None, dtype=object)
+    known = node_m | way_m | rel_m
+    reason[~known] = "unexpected-blob-type"  # OsmJoin.java:125-127
+    reason[known & ~has_id] = "no-id"
+    reason[node_m & has_id & ~(has_lat & has_lon)] = "no-coordinates"
+    sel = (~known) | (known & ~has_id) | (node_m & has_id & ~(has_lat & has_lon))
+    keep = batch.filter(pa.array(sel))
+    return pa.Table.from_arrays(
+        [
+            keep.column("doc_id"),
+            keep.column("span_idx"),
+            keep.column("elem_idx"),
+            pa.array(kind[sel], pa.string()),
+            pa.array(reason[sel], pa.string()),
+            keep.column("xml"),
+        ],
+        schema=REJECTS,
+    )
 
 
 # ---------------------------------------------------------------------------
