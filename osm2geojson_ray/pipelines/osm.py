@@ -15,7 +15,7 @@ from ..stages.features_vec import poi_features, way_features
 from ..stages.rings import relation_features, ring_rejects
 from ..stages.tiling import (
     assign_points_to_polygons,
-    knn_points_to_centroids,
+    knn_distributed,
     vertex_cells,
 )
 
@@ -116,6 +116,8 @@ def run_flagship(
             lambda t: t.filter(pc.equal(t["geom_type"], "Point")),
             batch_format="pyarrow",
         )
+        # scale-path defaults: shuffle PIP + distributed kNN (nothing
+        # gathered to the driver, no per-actor global index)
         out["pip"] = assign_points_to_polygons(points, polys, cfg.tile_res)
-        out["knn"] = knn_points_to_centroids(points, polys, k=cfg.knn_k)
+        out["knn"] = knn_distributed(points, polys, k=cfg.knn_k)
     return out

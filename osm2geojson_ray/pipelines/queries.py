@@ -26,7 +26,7 @@ from ..stages import join as J
 from ..stages import parse as P
 from ..stages.features_vec import poi_features, way_features
 from ..stages.rings import relation_features
-from ..stages.tiling import knn_points_to_centroids, vertex_cells
+from ..stages.tiling import knn_distributed, vertex_cells
 
 TILE_RES = 15
 KNN_K = 2
@@ -316,7 +316,7 @@ def q_knn(sf_dir: str) -> ray.data.Dataset:
     polys = _core(sf_dir, "way_features").map_batches(
         lambda t: t.filter(pc.equal(t["geom_type"], "Polygon")), batch_format="pyarrow"
     )
-    out = knn_points_to_centroids(points, polys, k=KNN_K)
+    out = knn_distributed(points, polys, k=KNN_K)
     return out.map_batches(
         lambda t: pa.table(
             {

@@ -73,6 +73,103 @@ def polygon_cover(features: ray.data.Dataset, res: int) -> ray.data.Dataset:
     return features.map_batches(lambda t: polygon_cover_batch(t, res), batch_format="pyarrow", zero_copy_batch=True)
 
 
+def polygon_cover_adaptive_batch(
+    batch: pa.Table, base_res: int, max_cells: int = 1024
+) -> pa.Table:
+    """Polyfill cover with a PER-POLYGON resolution: each polygon is
+    covered at the finest res ≤ base_res whose bbox holds ≤ max_cells
+    cells.  Bounds cover size (and the interior-test work) per polygon
+    regardless of extent — a continent-sized polygon gets a coarse
+    cover, a building a fine one.  The res is embedded in the cell id
+    (ids pack (res, ix, iy)), so a multi-res join stays a plain
+    equi-join on cell_id."""
+    fids = batch.column("feature_id").to_pylist()
+    geom = batch.column("geom_type").to_pylist()
+    xs = batch.column("xs").to_pylist()
+    ys = batch.column("ys").to_pylist()
+    ro = batch.column("ring_offsets").to_pylist()
+    out_f: list[str] = []
+    out_c: list[np.ndarray] = []
+    for i in range(batch.num_rows):
+        if geom[i] not in ("Polygon", "MultiPolygon"):
+            continue
+        x = np.asarray(xs[i])
+        y = np.asarray(ys[i])
+        dx = float(x.max() - x.min())
+        dy = float(y.max() - y.min())
+        r = base_res
+        while r > 0:
+            n = 1 << r
+            ncells = (int(dx / 360.0 * n) + 2) * (int(dy / 180.0 * n) + 2)
+            if ncells <= max_cells:
+                break
+            r -= 1
+        cover = C.polygon_cover(
+            x, y, np.asarray(ro[i], dtype=np.int64), r, points_in_polygon
+        )
+        out_f.extend([fids[i]] * len(cover))
+        out_c.append(cover)
+    cid = np.concatenate(out_c) if out_c else np.empty(0, np.int64)
+    return pa.Table.from_pydict({"feature_id": out_f, "cell_id": cid}, schema=TILES)
+
+
+def _pip_candidates(
+    points: ray.data.Dataset,
+    polygons: ray.data.Dataset,
+    res: int,
+    num_partitions: int,
+    max_cells: int = 1024,
+) -> ray.data.Dataset:
+    """Candidate (point, polygon) pairs via the multi-res cell join:
+    polygons polyfill at their adaptive res; points emit one cell per res
+    level actually present in the cover (a handful of levels — derived
+    from a tiny distinct aggregate, not a driver gather of data rows)."""
+    cover = polygons.map_batches(
+        lambda t: polygon_cover_adaptive_batch(t, res, max_cells),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    ).map_batches(
+        lambda t: t.rename_columns(["polygon_id", "cell_id"]), batch_format="pyarrow"
+    ).materialize()
+    levels_ds = cover.map_batches(
+        lambda t: pa.table(
+            {"res": pa.array(np.unique(np.asarray(t.column("cell_id").combine_chunks()) >> np.int64(58)))}
+        ),
+        batch_format="pyarrow",
+    )
+    levels = sorted({r["res"] for r in levels_ds.take_all()})  # ≤ 29 scalars
+
+    def pt_cells_multi(batch: pa.Table) -> pa.Table:
+        mask = pa.compute.equal(batch.column("geom_type"), "Point")
+        pts = batch.filter(mask)
+        xs = np.asarray(pts.column("xs").combine_chunks().flatten())
+        ys = np.asarray(pts.column("ys").combine_chunks().flatten())
+        tables = []
+        for r in levels:
+            tables.append(
+                pa.table(
+                    {
+                        "point_id": pts.column("feature_id"),
+                        "px": pa.array(xs),
+                        "py": pa.array(ys),
+                        "cell_id": pa.array(C.cell_ids(xs, ys, int(r))),
+                    }
+                )
+            )
+        if not tables:
+            return pa.table(
+                {"point_id": pa.array([], pa.string()), "px": pa.array([], pa.float64()),
+                 "py": pa.array([], pa.float64()), "cell_id": pa.array([], pa.int64())}
+            )
+        return pa.concat_tables(tables)
+
+    pt_cells = points.map_batches(pt_cells_multi, batch_format="pyarrow", zero_copy_batch=True)
+    cands = flat_join(
+        pt_cells, cover, on=("cell_id",), how="inner", num_partitions=num_partitions
+    )
+    return distinct(cands, ["point_id", "polygon_id", "px", "py"], num_parts=num_partitions)
+
+
 # ---------------------------------------------------------------------------
 # point-in-polygon tile assignment
 # ---------------------------------------------------------------------------
@@ -100,19 +197,26 @@ def assign_points_to_polygons(
     num_partitions: int = 16,
 ) -> ray.data.Dataset:
     """(point feature, polygon feature) pairs where the point lies inside
-    the polygon.  Candidates via the flat cell_id hash join of point cells
-    against the polygon polyfill; exact even-odd test afterwards against
-    the polygon geometry held in an actor-pool index."""
-    pt_cells = points.map_batches(lambda t: point_cells_batch(t, res), batch_format="pyarrow", zero_copy_batch=True)
-    poly_cells = polygon_cover(polygons, res).map_batches(
-        lambda t: t.rename_columns(["polygon_id", "cell_id"]), batch_format="pyarrow"
-    )
-    cands = flat_join(
-        pt_cells, poly_cells, on=("cell_id",), how="inner", num_partitions=num_partitions
-    )
-    # dedup (a point can meet the same polygon through one cell only — cell
-    # ids are unique per polygon — but keep it robust)
-    cands = distinct(cands, ["point_id", "polygon_id", "px", "py"], num_parts=num_partitions)
+    the polygon.  DEFAULT = the shuffle path: no table is ever gathered
+    to the driver or broadcast whole, so the polygon side can be
+    arbitrarily large (the 100x-scale design the north rule demands).
+    ``assign_points_to_polygons_broadcast`` remains as the small-side
+    option when the polygon table is known to fit in one object."""
+    return assign_points_to_polygons_shuffle(points, polygons, res, num_partitions)
+
+
+def assign_points_to_polygons_broadcast(
+    points: ray.data.Dataset,
+    polygons: ray.data.Dataset,
+    res: int,
+    num_partitions: int = 16,
+) -> ray.data.Dataset:
+    """Broadcast variant: candidates via the flat cell_id hash join of
+    point cells against the polygon polyfill; exact even-odd test against
+    the polygon geometry held in a per-actor index built from one
+    ``ray.put`` broadcast.  Only for small polygon sides — the geometry
+    table passes through the driver."""
+    cands = _pip_candidates(points, polygons, res, num_partitions)
 
     polys_ref = ray.put(
         polygons.select_columns(["feature_id", "xs", "ys", "ring_offsets"]).take_all()
@@ -169,16 +273,7 @@ def assign_points_to_polygons_shuffle(
 
     from ..functions.joins import join_on_unique
 
-    pt_cells = points.map_batches(
-        lambda t: point_cells_batch(t, res), batch_format="pyarrow", zero_copy_batch=True
-    )
-    poly_cells = polygon_cover(polygons, res).map_batches(
-        lambda t: t.rename_columns(["polygon_id", "cell_id"]), batch_format="pyarrow"
-    )
-    cands = flat_join(
-        pt_cells, poly_cells, on=("cell_id",), how="inner", num_partitions=num_partitions
-    )
-    cands = distinct(cands, ["point_id", "polygon_id", "px", "py"], num_parts=num_partitions)
+    cands = _pip_candidates(points, polygons, res, num_partitions)
 
     geom = polygons.map_batches(
         lambda t: pa.table(
@@ -284,11 +379,11 @@ def knn_points_to_centroids(
     polygons: ray.data.Dataset,
     k: int = 2,
 ) -> ray.data.Dataset:
-    """Brute-force kNN against the broadcast centroid matrix (small side:
-    one centroid per polygon feature).  Distance = squared euclidean in
-    degree space (SQL-replicable); ties broken by polygon_id.  The
-    cell-ring expanding search in functions/cells.neighbor_ring is the
-    documented scale path when the centroid side outgrows a broadcast."""
+    """Brute-force kNN against the broadcast centroid matrix (small-side
+    option: one centroid per polygon feature, gathered to the driver).
+    Distance = squared euclidean in degree space (SQL-replicable); ties
+    broken by polygon_id.  ``knn_distributed`` is the default scale path
+    (same result, parity-tested, nothing driver-side)."""
     cents = polygon_centroids(polygons).take_all()
     ids = [r["polygon_id"] for r in cents]
     order = np.argsort(np.asarray(ids, dtype=object), kind="stable")
@@ -432,3 +527,208 @@ def knn_cell_ring(
             )
 
     return points.map_batches(RingKnn, batch_format="pyarrow", concurrency=(1, 4))
+
+
+# ---------------------------------------------------------------------------
+# distributed exact kNN (the scale-path default)
+# ---------------------------------------------------------------------------
+
+
+def _points_flat(points: ray.data.Dataset) -> ray.data.Dataset:
+    def f(t: pa.Table) -> pa.Table:
+        pts = t.filter(pa.compute.equal(t.column("geom_type"), "Point"))
+        return pa.table(
+            {
+                "point_id": pts.column("feature_id"),
+                "px": pa.array(np.asarray(pts.column("xs").combine_chunks().flatten()), pa.float64()),
+                "py": pa.array(np.asarray(pts.column("ys").combine_chunks().flatten()), pa.float64()),
+            }
+        )
+
+    return points.map_batches(f, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def _replicate_centroids_batch(t: pa.Table, res: int) -> pa.Table:
+    """Each centroid replicated to its ring-1 (3x3) cell neighborhood at
+    ``res`` (clipped at the grid edge, duplicates deduped)."""
+    cx = np.asarray(t.column("cx").combine_chunks())
+    cy = np.asarray(t.column("cy").combine_chunks())
+    n = np.int64(1 << res)
+    base = C.cell_ids(cx, cy, res)
+    _, ix, iy = C.cell_components(base)
+    rows: list[np.ndarray] = []
+    cells: list[np.ndarray] = []
+    ridx = np.arange(t.num_rows, dtype=np.int64)
+    for dx in (-1, 0, 1):
+        for dy in (-1, 0, 1):
+            jx = np.clip(ix + dx, 0, n - 1)
+            jy = np.clip(iy + dy, 0, n - 1)
+            rows.append(ridx)
+            cells.append(C.pack(jx, jy, res))
+    row_all = np.concatenate(rows)
+    cell_all = np.concatenate(cells)
+    # dedup (row, cell) pairs arising from edge clipping (lexsort + run scan)
+    order = np.lexsort((cell_all, row_all))
+    ra, ca = row_all[order], cell_all[order]
+    keep = np.ones(len(ra), dtype=bool)
+    keep[1:] = (ra[1:] != ra[:-1]) | (ca[1:] != ca[:-1])
+    row_all, cell_all = ra[keep], ca[keep]
+    sub = t.take(pa.array(row_all))
+    return pa.table(
+        {
+            "cell_id": pa.array(cell_all, pa.int64()),
+            "polygon_id": sub.column("polygon_id"),
+            "cx": sub.column("cx"),
+            "cy": sub.column("cy"),
+        }
+    )
+
+
+def knn_distributed(
+    points: ray.data.Dataset,
+    polygons: ray.data.Dataset,
+    k: int = 2,
+    index_res: int | None = None,
+    num_parts: int = 16,
+) -> ray.data.Dataset:
+    """Distributed EXACT kNN — the scale path and default: no driver-side
+    gather, no per-actor global index.  Multi-round candidate join:
+
+    1. centroids replicate to their ring-1 cell neighborhood at ``res``;
+       points map to their cell; LEFT join on cell_id → candidates.
+    2. hash-partition candidates by point_id; per point, take the k
+       nearest candidates.  A point is RESOLVED when its kth-nearest
+       candidate distance d_k < min(cell_w, cell_h): any centroid outside
+       the 3x3 block is at least one full cell away, so all true top-k
+       (including distance ties, broken by polygon_id) are among the
+       candidates — exactness guarantee.
+    3. unresolved points re-run at a coarser resolution (res-2); at
+       res=0 the single cell holds every centroid, so the final round is
+       brute force on the (geometrically shrinking) straggler set.
+
+    ``index_res=None`` picks the initial resolution from the centroid
+    count so a ring-1 block holds ~32*k centroids under a uniform
+    spread — dense regions then resolve in round 1, sparse regions
+    escalate per point.  Matches knn_points_to_centroids exactly
+    (parity-tested).
+    """
+    import pandas as pd
+
+    from ..functions.grouping import partition_map
+
+    cents = polygon_centroids(polygons).materialize()
+    n_cents = cents.count()
+    if index_res is None:
+        # ~32*k expected candidates per 3x3 block: 9*n/4^r = 32*k
+        target_cells = max(1.0, 9.0 * n_cents / (32.0 * k))
+        index_res = min(12, max(0, int(np.log2(target_cells) / 2)))
+    if n_cents == 0:
+        # no centroids: empty result (zero-block datasets have no schema
+        # for the join planner)
+        return ray.data.from_arrow(
+            pa.table(
+                {"point_id": pa.array([], pa.string()),
+                 "polygon_id": pa.array([], pa.string()),
+                 "rank": pa.array([], pa.int32())}
+            )
+        )
+    remaining = _points_flat(points)
+    rounds: list[ray.data.Dataset] = []
+    res = index_res
+    while True:
+        w, h = C.cell_size_deg(res)
+        min_dim = min(w, h)
+        final = res == 0
+        cent_rep = cents.map_batches(
+            lambda t, r=res: _replicate_centroids_batch(t, r), batch_format="pyarrow"
+        )
+        pt_cells = remaining.map_batches(
+            lambda t, r=res: t.append_column(
+                "cell_id",
+                pa.array(
+                    C.cell_ids(
+                        np.asarray(t.column("px").combine_chunks()),
+                        np.asarray(t.column("py").combine_chunks()),
+                        r,
+                    )
+                ),
+            ),
+            batch_format="pyarrow",
+        )
+        cand = flat_join(
+            pt_cells, cent_rep, on=("cell_id",), how="left_outer", num_partitions=num_parts
+        )
+
+        def topk(t: pa.Table, kk: int = k, md: float = min_dim, fin: bool = final) -> pa.Table:
+            df = t.select(["point_id", "px", "py", "polygon_id", "cx", "cy"]).to_pandas()
+            dx = df["px"] - df["cx"]
+            dy = df["py"] - df["cy"]
+            df["d2"] = dx * dx + dy * dy  # NaN for no-candidate rows
+            df = df.sort_values(["point_id", "d2", "polygon_id"], kind="mergesort")
+            g = df.groupby("point_id", sort=False)
+            df["rnk"] = g.cumcount() + 1
+            n_cand = g["polygon_id"].transform("count")  # nulls not counted
+            # d_k per group, vectorized: the row whose rank == min(k, n_cand)
+            is_kth = df["rnk"] == np.minimum(n_cand, kk)
+            dk = df["point_id"].map(df.loc[is_kth].set_index("point_id")["d2"])
+            resolved = fin | ((n_cand >= kk) & (dk < md))
+            out_rows = df[resolved & (df["rnk"] <= kk) & df["polygon_id"].notna()]
+            out = pd.DataFrame(
+                {
+                    "point_id": out_rows["point_id"],
+                    "px": out_rows["px"],
+                    "py": out_rows["py"],
+                    "polygon_id": out_rows["polygon_id"],
+                    "rnk": out_rows["rnk"].astype(np.int64),
+                    "resolved": True,
+                }
+            )
+            un = df[~resolved & (df["rnk"] == 1)]
+            if len(un):
+                out = pd.concat(
+                    [
+                        out,
+                        pd.DataFrame(
+                            {
+                                "point_id": un["point_id"],
+                                "px": un["px"],
+                                "py": un["py"],
+                                "polygon_id": "",
+                                "rnk": np.int64(0),
+                                "resolved": False,
+                            }
+                        ),
+                    ]
+                )
+            return pa.Table.from_pandas(out, preserve_index=False)
+
+        scored = partition_map(cand, ["point_id"], num_parts, topk).materialize()
+        rounds.append(
+            scored.map_batches(
+                lambda t: t.filter(t.column("resolved"))
+                .select(["point_id", "polygon_id", "rnk"]),
+                batch_format="pyarrow",
+            )
+        )
+        remaining = scored.map_batches(
+            lambda t: t.filter(pa.compute.invert(t.column("resolved")))
+            .select(["point_id", "px", "py"]),
+            batch_format="pyarrow",
+        )
+        if final or remaining.count() == 0:
+            break
+        res = max(0, res - 2)
+
+    out = rounds[0]
+    for r in rounds[1:]:
+        out = out.union(r)
+    return out.map_batches(
+        lambda t: pa.table(
+            {
+                "point_id": t.column("point_id"),
+                "polygon_id": t.column("polygon_id"),
+                "rank": t.column("rnk").cast(pa.int32()),
+            }
+        ),
+        batch_format="pyarrow",
+    )

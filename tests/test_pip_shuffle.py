@@ -8,7 +8,7 @@ import ray.data as rd
 
 from osm2geojson_ray.stages.tiling import (
     assign_points_to_polygons,
-    assign_points_to_polygons_shuffle,
+    assign_points_to_polygons_broadcast,
 )
 
 
@@ -29,13 +29,14 @@ def test_pip_shuffle_matches_broadcast(small_world):
         )
         .materialize()
     )
+    # default is now the shuffle scale path; broadcast is the baseline twin
     a = sorted(
         (r["point_id"], r["polygon_id"])
-        for r in assign_points_to_polygons(points, polys, res=15, num_partitions=4).take_all()
+        for r in assign_points_to_polygons_broadcast(points, polys, res=15, num_partitions=4).take_all()
     )
     b = sorted(
         (r["point_id"], r["polygon_id"])
-        for r in assign_points_to_polygons_shuffle(points, polys, res=15, num_partitions=4).take_all()
+        for r in assign_points_to_polygons(points, polys, res=15, num_partitions=4).take_all()
     )
     assert a == b
     assert len(a) > 0

@@ -163,3 +163,45 @@ def test_segment_cells_collinear_on_grid_line():
     below = int(C.pack(np.array([3]), np.array([3]), res)[0])
     above = int(C.pack(np.array([3]), np.array([4]), res)[0])
     assert below in cells and above in cells
+
+
+def test_knn_distributed_matches_bruteforce(small_world):
+    import ray.data as rdd
+
+    from osm2geojson_ray.stages.join import j1_way_nodes, j2_complete_ways
+    from osm2geojson_ray.stages.parse import parse_nodes, parse_ways, way_edges
+    from osm2geojson_ray.stages.postprocess import poi_features, way_features
+    from osm2geojson_ray.stages.tiling import knn_distributed, knn_points_to_centroids
+
+    els = rdd.from_arrow(small_world["elements"])
+    nodes = parse_nodes(els).materialize()
+    ways = parse_ways(els).materialize()
+    cw = j2_complete_ways(ways, j1_way_nodes(nodes, way_edges(ways), 8), 8).materialize()
+    points = poi_features(nodes).materialize()
+    polys = way_features(cw).map_batches(
+        lambda t: t.filter(pa.compute.equal(t["geom_type"], "Polygon")),
+        batch_format="pyarrow",
+    ).materialize()
+    brute = sorted(
+        (r["point_id"], r["rank"], r["polygon_id"])
+        for r in knn_points_to_centroids(points, polys, k=3).take_all()
+    )
+    dist = sorted(
+        (r["point_id"], r["rank"], r["polygon_id"])
+        for r in knn_distributed(points, polys, k=3, index_res=6, num_parts=4).take_all()
+    )
+    assert dist == brute and len(brute) > 0
+
+
+def test_knn_distributed_no_polygons(small_world):
+    import ray.data as rdd
+
+    from osm2geojson_ray.stages.parse import parse_nodes
+    from osm2geojson_ray.stages.postprocess import poi_features
+    from osm2geojson_ray.stages.tiling import knn_distributed
+
+    els = rdd.from_arrow(small_world["elements"])
+    points = poi_features(parse_nodes(els).materialize()).materialize()
+    empty = points.filter(lambda r: False)
+    out = knn_distributed(points, empty, k=2, index_res=4, num_parts=2).take_all()
+    assert out == []
