@@ -391,7 +391,14 @@ def q_pip(sf_dir: str) -> ray.data.Dataset:
 
 def q_rejects(sf_dir: str) -> ray.data.Dataset:
     return _core(sf_dir, "rejects").map_batches(
-        lambda t: t.select(["doc_id", "span_idx", "kind", "reason"]),
+        lambda t: pa.table(
+            {
+                "doc_id": t.column("doc_id"),
+                "span_idx": t.column("span_idx").cast(pa.int64()),
+                "kind": t.column("kind"),
+                "reason": t.column("reason"),
+            }
+        ),
         batch_format="pyarrow",
     )
 
@@ -495,6 +502,7 @@ rels AS (
   SELECT CAST(regexp_extract(xml, {id_re}, 1) AS BIGINT) AS rel_id,
          regexp_extract_all(xml, 'member type="(.*?)" ref="([0-9]+)" role="(.*?)"', 1) AS mtypes,
          regexp_extract_all(xml, 'member type="(.*?)" ref="([0-9]+)" role="(.*?)"', 2) AS mrefs,
+         regexp_extract_all(xml, 'member type="(.*?)" ref="([0-9]+)" role="(.*?)"', 3) AS mroles,
          xml
   FROM blobs
   WHERE xml LIKE '<relation%' AND regexp_extract(xml, {id_re}, 1) <> ''
@@ -732,6 +740,176 @@ SELECT 'osmnode/' || CAST(node_id AS VARCHAR) AS point_id,
 FROM ranked WHERE rnk <= {KNN_K}
 """
 
+    id_re = "'id=\"([0-9]+)'"
+    lat_re = "'lat=\"(-?[0-9]+(?:\\.[0-9]+)?)'"
+    lon_re = "'lon=\"(-?[0-9]+(?:\\.[0-9]+)?)'"
+    sql["rejects"] = f"""
+WITH {B}
+SELECT doc_id, CAST(span_idx AS BIGINT) AS span_idx,
+       CASE WHEN xml LIKE '<node%' THEN 'node'
+            WHEN xml LIKE '<way%' THEN 'way'
+            ELSE 'relation' END AS kind,
+       CASE WHEN regexp_extract(xml, {id_re}, 1) = '' THEN 'no-id'
+            WHEN xml LIKE '<node%'
+                 AND (regexp_extract(xml, {lat_re}, 1) = ''
+                      OR regexp_extract(xml, {lon_re}, 1) = '') THEN 'no-coordinates'
+       END AS reason
+FROM blobs
+WHERE CASE WHEN regexp_extract(xml, {id_re}, 1) = '' THEN 'no-id'
+           WHEN xml LIKE '<node%'
+                AND (regexp_extract(xml, {lat_re}, 1) = ''
+                     OR regexp_extract(xml, {lon_re}, 1) = '') THEN 'no-coordinates'
+      END IS NOT NULL
+"""
+
+    rel_name = _tagv("name")  # relation tag values are raw (no unescape)
+    rel_cats = _cats_expr(_tagv)
+    # shared multipolygon-relation gating + member-way edge CTEs.
+    # Replicates the engine's reject conditions that ARE SQL-expressible:
+    # type=multipolygon, named, categorized, survives J4/J6 (>=1 node
+    # member resolved, >=1 complete way member), no outer/inner member way
+    # with missing node refs, >=1 outer-class way.  Ring STITCHABILITY
+    # itself (unclosed rings, inner-outside-outer) is not SQL-expressible;
+    # the synthetic corpus generates only stitchable multipolygons, and
+    # the stitching semantics are pinned by fixture tests
+    # (tests/test_features.py) instead.
+    mp_ctes = f"""
+mem3 AS (
+  SELECT rel_id, unnest(mtypes) AS mtype, CAST(unnest(mrefs) AS BIGINT) AS ref,
+         unnest(mroles) AS mrole
+  FROM rels
+),
+complete_way_ids AS (SELECT DISTINCT way_id FROM resolved),
+bad_ways AS (
+  SELECT DISTINCT e.way_id FROM way_nd e LEFT JOIN nodes n USING (node_id)
+  WHERE n.node_id IS NULL
+),
+mpr AS (
+  SELECT rel_id, {rel_name} AS title
+  FROM rels r
+  WHERE {_tagv('type')} = 'multipolygon'
+    AND {_tagv('name')} <> ''
+    AND len({rel_cats}) > 0
+    AND EXISTS (SELECT 1 FROM mem3 m JOIN nodes n ON m.ref = n.node_id
+                WHERE m.rel_id = r.rel_id AND lower(m.mtype) = 'node')
+    AND EXISTS (SELECT 1 FROM mem3 m JOIN complete_way_ids c ON m.ref = c.way_id
+                WHERE m.rel_id = r.rel_id AND lower(m.mtype) = 'way')
+    AND NOT EXISTS (SELECT 1 FROM mem3 m
+                    WHERE m.rel_id = r.rel_id AND lower(m.mtype) = 'way'
+                      AND m.mrole IN ('outer', '', 'inner')
+                      AND (m.ref IN (SELECT way_id FROM bad_ways)
+                           OR m.ref NOT IN (SELECT way_id FROM ways)))
+    AND EXISTS (SELECT 1 FROM mem3 m
+                WHERE m.rel_id = r.rel_id AND lower(m.mtype) = 'way'
+                  AND m.mrole IN ('outer', ''))
+),
+mw AS (
+  SELECT m.rel_id, m.ref AS way_id,
+         CASE WHEN m.mrole = 'inner' THEN 'inner' ELSE 'outer' END AS cls
+  FROM mem3 m JOIN mpr USING (rel_id)
+  WHERE lower(m.mtype) = 'way' AND m.mrole IN ('outer', '', 'inner')
+)
+""".strip()
+
+    # PIP: even-odd ray casting.  Over a stitched multipolygon the edge
+    # multiset equals the union of its member ways' edges (stitching only
+    # reorders/reverses segments and the crossing test is symmetric), so
+    # the oracle casts rays against way edges directly — no stitching
+    # needed in SQL.  The crossing expression mirrors
+    # functions/geometry.points_in_ring term-for-term.
+    sql["pip_assign"] = f"""
+WITH {B},
+{mp_ctes},
+poi AS (
+  SELECT node_id, lon, lat, {node_cats} AS cats
+  FROM nodes WHERE {_tagv('name')} <> ''
+),
+pts AS (
+  SELECT 'osmnode/' || CAST(node_id AS VARCHAR) AS point_id, lon AS px, lat AS py
+  FROM poi WHERE len(cats) > 0
+),
+wedges AS (
+  SELECT way_id, lon AS x1, lat AS y1,
+         lead(lon) OVER w AS x2, lead(lat) OVER w AS y2
+  FROM resolved
+  WINDOW w AS (PARTITION BY way_id ORDER BY pos)
+),
+waystats AS (
+  SELECT way_id, count(*) AS n_coords,
+         arg_min(lon, pos) AS flon, arg_min(lat, pos) AS flat,
+         arg_max(lon, pos) AS llon, arg_max(lat, pos) AS llat
+  FROM resolved GROUP BY way_id
+),
+waypolys AS (
+  SELECT w.way_id
+  FROM ways w JOIN waystats s USING (way_id)
+  WHERE {_tagv('name')} <> '' AND len({way_cats}) > 0
+    AND s.flon = s.llon AND s.flat = s.llat
+),
+all_edges AS (
+  SELECT 'osmway/' || CAST(e.way_id AS VARCHAR) AS polygon_id, e.x1, e.y1, e.x2, e.y2
+  FROM wedges e JOIN waypolys USING (way_id)
+  WHERE e.x2 IS NOT NULL
+  UNION ALL
+  SELECT 'osmrelation/' || CAST(m.rel_id AS VARCHAR), e.x1, e.y1, e.x2, e.y2
+  FROM mw m JOIN wedges e USING (way_id)
+  WHERE e.x2 IS NOT NULL
+),
+crossings AS (
+  SELECT p.point_id, e.polygon_id,
+         sum(CASE WHEN e.y1 <> e.y2 AND ((e.y1 > p.py) <> (e.y2 > p.py))
+                   AND p.px < e.x1 + (p.py - e.y1) / (e.y2 - e.y1) * (e.x2 - e.x1)
+             THEN 1 ELSE 0 END) AS nc
+  FROM pts p CROSS JOIN all_edges e
+  GROUP BY 1, 2
+)
+SELECT point_id, polygon_id FROM crossings WHERE nc % 2 = 1
+"""
+
+    # relation features: ring COUNT = connected components of the
+    # endpoint-sharing graph per role class (computed with a recursive
+    # CTE — each stitched ring is one component); stored vertex count =
+    # total member-way edges + one duplicated closing vertex per ring.
+    sql["relation_features"] = f"""
+WITH RECURSIVE {B},
+{mp_ctes},
+wpairs AS (
+  SELECT way_id, node_id AS a, lead(node_id) OVER (PARTITION BY way_id ORDER BY pos) AS b
+  FROM way_nd
+),
+redge AS (
+  SELECT m.rel_id, m.cls, p.a, p.b
+  FROM mw m JOIN wpairs p USING (way_id)
+  WHERE p.b IS NOT NULL
+),
+bidir AS (
+  SELECT rel_id, cls, a, b FROM redge
+  UNION
+  SELECT rel_id, cls, b, a FROM redge
+),
+verts AS (SELECT DISTINCT rel_id, cls, a AS v FROM bidir),
+reach AS (
+  SELECT rel_id, cls, v AS src, v AS nod FROM verts
+  UNION
+  SELECT r.rel_id, r.cls, r.src, e.b
+  FROM reach r JOIN bidir e ON e.rel_id = r.rel_id AND e.cls = r.cls AND e.a = r.nod
+),
+comp AS (SELECT rel_id, cls, src, min(nod) AS root FROM reach GROUP BY 1, 2, 3),
+rings AS (SELECT rel_id, cls, count(DISTINCT root) AS n FROM comp GROUP BY 1, 2),
+ringtot AS (
+  SELECT rel_id, sum(n) AS nr,
+         max(CASE WHEN cls = 'outer' THEN n ELSE 0 END) AS n_outer
+  FROM rings GROUP BY 1
+),
+edgecnt AS (SELECT rel_id, count(*) AS ne FROM redge GROUP BY 1)
+SELECT 'osmrelation/' || CAST(r.rel_id AS VARCHAR) AS feature_id,
+       r.title,
+       CASE WHEN t.n_outer > 1 THEN 'MultiPolygon' ELSE 'Polygon' END AS geom_type,
+       CAST(t.nr AS BIGINT) AS n_rings,
+       CAST(e.ne + t.nr AS BIGINT) AS n_vertices
+FROM mpr r JOIN ringtot t USING (rel_id) JOIN edgecnt e USING (rel_id)
+"""
+
     return sql
 
 
@@ -751,7 +929,8 @@ OSM_QUERIES = {
     "knn": q_knn,
     "rasterize": q_rasterize,
     "vectorize": q_vectorize,
-    # rows-only (non-SQL-expressible: iterative ring stitching, ray casting)
+    # oracle-backed since r2: PIP via way-edge ray casting, relation ring
+    # counts via recursive-CTE components, rejects via blob re-derivation
     "relation_features": q_relation_features,
     "pip_assign": q_pip,
     "rejects": q_rejects,
