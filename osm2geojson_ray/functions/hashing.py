@@ -59,15 +59,38 @@ def band_keys(sig: list[int]) -> list[str]:
     return out
 
 
-SIMHASH_BITS = 16
+# 60-bit simhash (the full md5int60 width), banded 4 x 15 bits for the
+# near-dup candidate join: catches every hamming-distance <= 3 pair with
+# certainty, and a 15-bit band value keeps buckets tiny at scale (the
+# 16-bit/2-band scheme had only 512 distinct band values globally — every
+# bucket grew linearly with the corpus and the in-bucket self-merge was
+# quadratic; VERDICT r1).
+SIMHASH_BITS = 60
+SIMHASH_BANDS = 4
+SIMHASH_BAND_BITS = 15
 
 
 def simhash16(text: str) -> int:
-    """16-bit simhash over whitespace tokens (token hash = md5int60 % 2^16);
-    vote per bit, bit set iff vote > 0."""
+    """Legacy 16-bit simhash (kept for tests/back-compat)."""
+    votes = [0] * 16
+    for t in tokens(text):
+        h = md5int60(t) % (1 << 16)
+        for b in range(16):
+            votes[b] += 1 if (h >> b) & 1 else -1
+    out = 0
+    for b in range(16):
+        if votes[b] > 0:
+            out |= 1 << b
+    return out
+
+
+def simhash60(text: str) -> int:
+    """60-bit simhash over whitespace tokens (token hash = md5int60);
+    vote per bit, bit set iff vote > 0.  Scalar reference twin of the
+    vectorized stages/text.simhash60_batch kernel."""
     votes = [0] * SIMHASH_BITS
     for t in tokens(text):
-        h = md5int60(t) % (1 << SIMHASH_BITS)
+        h = md5int60(t)
         for b in range(SIMHASH_BITS):
             votes[b] += 1 if (h >> b) & 1 else -1
     out = 0
@@ -75,6 +98,14 @@ def simhash16(text: str) -> int:
         if votes[b] > 0:
             out |= 1 << b
     return out
+
+
+def simhash_band_keys(sim: int) -> list[str]:
+    """'b:value' per 15-bit band of a 60-bit simhash."""
+    mask = (1 << SIMHASH_BAND_BITS) - 1
+    return [
+        f"{b}:{(sim >> (SIMHASH_BAND_BITS * b)) & mask}" for b in range(SIMHASH_BANDS)
+    ]
 
 
 def fingerprint(text: str) -> int:

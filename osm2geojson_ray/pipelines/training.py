@@ -179,8 +179,9 @@ _SHINGLES = (
 
 
 def _simhash_sql_core() -> str:
-    """CTEs computing a 16-bit simhash per doc, bit votes via 16 sums."""
-    tokhash = _MD5INT.format(x="tok") + f" % {1 << H.SIMHASH_BITS}"
+    """CTEs computing the 60-bit simhash per doc, bit votes via 60 sums
+    (machine-generated columns; md5int60 is already 60 bits wide)."""
+    tokhash = _MD5INT.format(x="tok")
     votes = ",\n    ".join(
         f"sum(CASE WHEN (th >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS v{b}"
         for b in range(H.SIMHASH_BITS)
@@ -279,11 +280,14 @@ SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
 FROM bands a JOIN bands b ON a.band_key = b.band_key AND a.doc_id < b.doc_id
 """
 
+    band_mask = (1 << H.SIMHASH_BAND_BITS) - 1
+    band_list = ", ".join(str(b) for b in range(H.SIMHASH_BANDS))
     sql["simhash_pairs"] = f"""
 WITH {_simhash_sql_core()},
 bands AS (
-  SELECT doc_id, CAST(b AS VARCHAR) || ':' || CAST((simhash >> (8 * b)) & 255 AS VARCHAR) AS band_key
-  FROM sh, (SELECT unnest([0, 1]) AS b)
+  SELECT doc_id, CAST(b AS VARCHAR) || ':' ||
+         CAST((simhash >> ({H.SIMHASH_BAND_BITS} * b)) & {band_mask} AS VARCHAR) AS band_key
+  FROM sh, (SELECT unnest([{band_list}]) AS b)
 )
 SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
 FROM bands a JOIN bands b ON a.band_key = b.band_key AND a.doc_id < b.doc_id

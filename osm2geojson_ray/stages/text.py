@@ -94,12 +94,38 @@ def fingerprint_batch(t: pa.Table) -> pa.Table:
     )
 
 
+def simhash60_values(texts: list[str]) -> np.ndarray:
+    """Vectorized 60-bit simhash for a batch: the md5 per token is the
+    inherent cost; the per-bit voting runs as one numpy pass over all
+    tokens of the batch (reduceat by row) instead of a per-token loop."""
+    hashes: list[int] = []
+    offsets = [0]
+    for s in texts:
+        hashes.extend(H.md5int60(tok) for tok in H.tokens(s))
+        offsets.append(len(hashes))
+    if not hashes:
+        return np.zeros(len(texts), dtype=np.int64)
+    h = np.asarray(hashes, dtype=np.uint64)
+    bits = ((h[:, None] >> np.arange(H.SIMHASH_BITS, dtype=np.uint64)[None, :]) & 1).astype(
+        np.int32
+    )
+    contrib = 2 * bits - 1
+    starts = np.asarray(offsets[:-1], dtype=np.int64)
+    empty = np.asarray(offsets[1:]) == starts  # rows with no tokens
+    votes = np.add.reduceat(contrib, np.minimum(starts, len(h) - 1), axis=0)
+    votes[empty] = 0  # reduceat gives garbage for empty segments; zero them
+    sim = ((votes > 0).astype(np.uint64) << np.arange(H.SIMHASH_BITS, dtype=np.uint64)[None, :]).sum(
+        axis=1
+    )
+    return sim.astype(np.int64)
+
+
 def simhash_batch(t: pa.Table) -> pa.Table:
     texts = t.column("text").to_pylist()
     return pa.table(
         {
             "doc_id": t.column("doc_id"),
-            "simhash": pa.array([H.simhash16(s) for s in texts], pa.int64()),
+            "simhash": pa.array(simhash60_values(texts), pa.int64()),
         }
     )
 

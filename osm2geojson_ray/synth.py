@@ -29,12 +29,18 @@ from .schema import DOCUMENTS
 # NB: must not be named like the package — a /tmp/osm2geojson_ray/ dir
 # would shadow the real package as a namespace package for scripts run
 # from /tmp.
-SYNTH_ROOT = "/tmp/osmray_synth"
+SYNTH_ROOT = "/tmp/osmray_synth/v2"  # bump on any generator change: the
+# cache key is only (version, n_docs)
 
 WAY_ID_BASE = 1_000_000
-RING_WAY_ID_BASE = 1_500_000
+# ring ids live far above every regular id range so the id spaces can
+# never collide at any corpus size reachable in this sandbox (v1 placed
+# ring ways at 1.5M — regular way ids overlapped them past 500k docs,
+# i.e. duplicate way_ids in the corpus, caught by the join uniqueness
+# guard at the 600k-doc scaling corpus)
+RING_WAY_ID_BASE = 1_000_000_000
 REL_ID_BASE = 2_000_000
-RING_NODE_ID_BASE = 10_000_000
+RING_NODE_ID_BASE = 2_000_000_000
 
 _JUNK = [
     '<?xml version="1.0" encoding="UTF-8"?>',
