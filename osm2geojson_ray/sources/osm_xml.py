@@ -1,14 +1,25 @@
 """Raw OSM XML file source (reference S1: bzip2Reader + LineIterable +
 OsmBlobIterable, ResourceUtil.java:60-62 / OsmJoin.java:108-109).
 
-The reference streams one planet file serially.  Here each *file* is one
-parallel unit: ``read_binary_files`` → per-file decompress (bz2/gzip by
-extension, stdlib) → the same chunker the span source uses.  For
-planet-scale input the corpus should be sharded into many files (or
-pre-converted to the interleaved documents table, the engine's primary
-input); within-file parallel splitting of one giant bz2 stream is
-intentionally out of scope — bzip2 is not block-splittable without an
-index.
+Two read modes, both with BOUNDED per-task memory (the r1 reader loaded a
+whole file's bytes into one task — a real planet file would not fit):
+
+* **Plain XML** — parallel byte-range ``ReadTask``s (one per
+  ``chunk_bytes``), re-synced on element boundaries: a task processes
+  exactly the elements whose start tag lies inside its range, reading up
+  to ``overlap`` bytes past the range end to complete a straddling
+  element (exactly-once per element; all offsets tracked in BYTES so
+  multibyte UTF-8 can't shift the boundary arithmetic).
+* **bzip2 / gzip** — neither format is block-splittable without an
+  index, so one STREAMING ``ReadTask`` per file incrementally
+  decompresses and carves complete elements, yielding one Arrow block
+  per ~``stream_chunk`` of input; memory is bounded by the chunk size
+  plus one partial element (the reference's serial scan, as a streaming
+  datasource with backpressure).
+
+Elements larger than ``overlap`` (plain) / unterminated at EOF
+(streaming) are dropped — the reference's LineIterable likewise stops at
+a truncated element (OsmBlobIterable.java:44-114).
 """
 
 from __future__ import annotations
@@ -16,31 +27,39 @@ from __future__ import annotations
 import bz2
 import gzip
 import os
+import re
 
 import pyarrow as pa
 
 import ray.data
+from ray.data.block import BlockMetadata
+from ray.data.datasource import Datasource, ReadTask
 
 from ..schema import ELEMENTS
 from .documents import chunk_span_regex
 
-
-def _decompress(path: str, data: bytes) -> str:
-    # detect by magic bytes, not extension — ray's read_binary_files may
-    # already have transparently decompressed .gz via the arrow filesystem
-    if data[:3] == b"BZh":
-        return bz2.decompress(data).decode("utf-8", errors="replace")
-    if data[:2] == b"\x1f\x8b":
-        return gzip.decompress(data).decode("utf-8", errors="replace")
-    return data.decode("utf-8", errors="replace")
+# bytes twin of documents._BLOB_RE (anchor bytes are ASCII; UTF-8
+# continuation bytes can't alias '<' or '>')
+_BLOB_RE_B = re.compile(
+    rb"<(node|way|relation)\b[^>]*?(?:/>|>.*?</\1>)",
+    re.DOTALL,
+)
+_WS_RE_B = re.compile(rb"\n\s*")
 
 
-def elements_from_xml_text(doc_id: str, text: str) -> pa.Table:
-    blobs = chunk_span_regex(text)
+def _normalize_blob_b(raw: bytes) -> str:
+    """Decode one element blob and apply the chunker's newline
+    normalization (identical to documents.chunk_span_regex)."""
+    return _WS_RE_B.sub(lambda m: m.group(0).replace(b"\n", b""), raw).decode(
+        "utf-8", errors="replace"
+    )
+
+
+def _elements_table(doc_id: str, span_idx: int, blobs: list[str]) -> pa.Table:
     return pa.Table.from_pydict(
         {
             "doc_id": [doc_id] * len(blobs),
-            "span_idx": [0] * len(blobs),
+            "span_idx": [span_idx] * len(blobs),
             "elem_idx": list(range(len(blobs))),
             "xml": blobs,
         },
@@ -48,19 +67,134 @@ def elements_from_xml_text(doc_id: str, text: str) -> pa.Table:
     )
 
 
-def read_osm_xml(paths: str | list[str]) -> ray.data.Dataset:
-    """OSM XML file(s) → ELEMENTS dataset (doc_id = file basename)."""
-    files = ray.data.read_binary_files(paths, include_paths=True)
+def _compression_of(path: str) -> str | None:
+    with open(path, "rb") as f:
+        magic = f.read(3)
+    if magic[:3] == b"BZh":
+        return "bz2"
+    if magic[:2] == b"\x1f\x8b":
+        return "gz"
+    return None
 
-    def f(batch: pa.Table) -> pa.Table:
-        tables = []
-        for path, data in zip(batch.column("path").to_pylist(), batch.column("bytes").to_pylist()):
-            text = _decompress(path, data)
-            tables.append(elements_from_xml_text(os.path.basename(path), text))
-        if not tables:
-            return pa.Table.from_pydict(
-                {"doc_id": [], "span_idx": [], "elem_idx": [], "xml": []}, schema=ELEMENTS
-            )
-        return pa.concat_tables(tables)
 
-    return files.map_batches(f, batch_format="pyarrow", batch_size=1)
+def _range_read(path: str, start: int, end: int, overlap: int, span_idx: int):
+    """Elements whose start tag lies in byte range [start, end)."""
+    with open(path, "rb") as f:
+        f.seek(start)
+        data = f.read(end - start + overlap)
+    limit = end - start
+    blobs = [
+        _normalize_blob_b(m.group(0))
+        for m in _BLOB_RE_B.finditer(data)
+        if m.start() < limit
+    ]
+    yield _elements_table(os.path.basename(path), span_idx, blobs)
+
+
+def _stream_read(path: str, compression: str, stream_chunk: int):
+    """Serial streaming decompress; one block per ~stream_chunk of text."""
+    opener = {"bz2": bz2.open, "gz": gzip.open}[compression]
+    doc_id = os.path.basename(path)
+    buf = b""
+    span_idx = 0
+    with opener(path, "rb") as f:
+        while True:
+            chunk = f.read(stream_chunk)
+            if not chunk:
+                break
+            buf += chunk
+            blobs: list[str] = []
+            last_end = 0
+            for m in _BLOB_RE_B.finditer(buf):
+                blobs.append(_normalize_blob_b(m.group(0)))
+                last_end = m.end()
+            if blobs:
+                yield _elements_table(doc_id, span_idx, blobs)
+                span_idx += 1
+            # keep only the unfinished tail (a partial element at most)
+            buf = buf[last_end:]
+    # trailing complete elements with no further input (e.g. final chunk
+    # ended exactly at an element close) were already emitted above; an
+    # unterminated tail is dropped like the reference's truncated element
+
+
+class OsmXmlDatasource(Datasource):
+    """Ray Data datasource over raw OSM XML files (plain / gz / bz2)."""
+
+    def __init__(
+        self,
+        paths: list[str],
+        chunk_bytes: int = 64 << 20,
+        overlap: int = 16 << 20,
+        stream_chunk: int = 8 << 20,
+    ) -> None:
+        self._paths = paths
+        self._chunk_bytes = chunk_bytes
+        self._overlap = overlap
+        self._stream_chunk = stream_chunk
+
+    def estimate_inmemory_data_size(self) -> int | None:
+        return sum(os.path.getsize(p) for p in self._paths)
+
+    def get_name(self) -> str:
+        return "OsmXml"
+
+    def get_read_tasks(self, parallelism: int) -> list[ReadTask]:
+        tasks: list[ReadTask] = []
+        for path in self._paths:
+            comp = _compression_of(path)
+            size = os.path.getsize(path)
+            if comp is not None:
+                meta = BlockMetadata(
+                    num_rows=None, size_bytes=size, exec_stats=None, input_files=[path]
+                )
+                tasks.append(
+                    ReadTask(
+                        lambda p=path, c=comp: _stream_read(p, c, self._stream_chunk),
+                        meta,
+                    )
+                )
+                continue
+            n_chunks = max(1, (size + self._chunk_bytes - 1) // self._chunk_bytes)
+            for i in range(n_chunks):
+                start = i * self._chunk_bytes
+                end = min(size, start + self._chunk_bytes)
+                meta = BlockMetadata(
+                    num_rows=None,
+                    size_bytes=end - start,
+                    exec_stats=None,
+                    input_files=[path],
+                )
+                tasks.append(
+                    ReadTask(
+                        lambda p=path, s=start, e=end, i=i: _range_read(
+                            p, s, e, self._overlap, i
+                        ),
+                        meta,
+                    )
+                )
+        return tasks
+
+
+def read_osm_xml(
+    paths: str | list[str],
+    chunk_bytes: int = 64 << 20,
+    overlap: int = 16 << 20,
+    stream_chunk: int = 8 << 20,
+) -> ray.data.Dataset:
+    """OSM XML file(s) → ELEMENTS dataset (doc_id = file basename,
+    span_idx = read-chunk index, elem_idx = order within chunk).  Plain
+    files read as parallel byte ranges; .bz2/.gz stream serially with
+    bounded memory."""
+    if isinstance(paths, str):
+        paths = [paths]
+    return ray.data.read_datasource(
+        OsmXmlDatasource(
+            paths, chunk_bytes=chunk_bytes, overlap=overlap, stream_chunk=stream_chunk
+        )
+    )
+
+
+def elements_from_xml_text(doc_id: str, text: str) -> pa.Table:
+    """In-memory text → ELEMENTS table (kept for small inputs/tests)."""
+    return _elements_table(doc_id, 0, chunk_span_regex(text))

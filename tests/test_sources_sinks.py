@@ -110,3 +110,45 @@ def test_write_geojson_split(tmp_path):
     objs = [json.loads(l) for l in lines]
     assert [o["id"] for o in objs] == ["osmnode/1"]
     assert objs[0]["geometry"]["type"] == "Point"
+
+
+def test_read_osm_xml_ranged_exactly_once(tmp_path):
+    """Byte-range reader: every element parsed exactly once regardless of
+    chunk boundaries (elements straddle ranges at 4 KiB chunks)."""
+    from osm2geojson_ray import synth
+    from osm2geojson_ray.sources.documents import chunk_span_regex
+
+    lines: list[str] = []
+    for block in synth.iter_element_blocks(60):
+        lines.extend(block)
+    text = "junk header\n" + "\n".join(lines) + "\ntrailing junk\n"
+    expected = chunk_span_regex(text)
+    p = tmp_path / "big.osm"
+    p.write_text(text)
+    ds = read_osm_xml(str(p), chunk_bytes=4096, overlap=1 << 16)
+    rows = ds.take_all()
+    got = sorted(r["xml"] for r in rows)
+    assert got == sorted(expected)
+    # parallel read really happened: multiple span_idx chunks
+    assert len({r["span_idx"] for r in rows}) > 2
+
+
+def test_read_osm_xml_streaming_bounded(tmp_path):
+    """bz2/gz streaming reader yields the same element set with a small
+    stream chunk (forces tail handling across decompressed chunks)."""
+    from osm2geojson_ray import synth
+    from osm2geojson_ray.sources.documents import chunk_span_regex
+
+    lines: list[str] = []
+    for block in synth.iter_element_blocks(40):
+        lines.extend(block)
+    text = "\n".join(lines)
+    expected = sorted(chunk_span_regex(text))
+    pb = tmp_path / "s.osm.bz2"
+    pb.write_bytes(bz2.compress(text.encode()))
+    pg = tmp_path / "s.osm.gz"
+    pg.write_bytes(gzip.compress(text.encode()))
+    for p in (pb, pg):
+        rows = read_osm_xml(str(p), stream_chunk=2048).take_all()
+        assert sorted(r["xml"] for r in rows) == expected
+        assert len({r["span_idx"] for r in rows}) > 1  # streamed in blocks
