@@ -23,7 +23,11 @@ from ..stages.tiling import (
 @dataclass
 class OsmPipelineConfig:
     num_parts: int = 64          # hash-shuffle partition count
-    salt: int | None = None     # >1 enables salted mega-key collect
+    # salt: >1 = salted mega-key collect; "auto" = enable only when the
+    # corpus actually contains a mega-key (default — free on clean data,
+    # bounded task memory when a planet-scale mega-relation appears)
+    salt: int | str | None = "auto"
+    salt_trigger: int = 100_000  # max group fan-in before salting kicks in
     tile_res: int = 15           # cell grid resolution
     knn_k: int = 2
     # materialize shared intermediates once instead of re-executing the
@@ -31,6 +35,38 @@ class OsmPipelineConfig:
     # common subexpressions across branches) — the engine's analog of the
     # reference's per-stage files, and the checkpointable boundary
     materialize_shared: bool = True
+
+
+def _max_list_len(ds: ray.data.Dataset, col: str) -> int:
+    """Max list length of ``col`` — per-batch maxima (scalars) reduced on
+    the driver; one cheap pass over an already-materialized table."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    def m(t: pa.Table) -> pa.Table:
+        v = pc.max(pc.list_value_length(t.column(col).combine_chunks())).as_py()
+        return pa.table({"m": pa.array([int(v or 0)], pa.int64())})
+
+    return max((r["m"] for r in ds.map_batches(m, batch_format="pyarrow").take_all()), default=0)
+
+
+def resolve_salt(
+    ways: ray.data.Dataset,
+    relations: ray.data.Dataset,
+    cfg: "OsmPipelineConfig",
+) -> int | None:
+    """``salt='auto'`` → inspect the corpus: group fan-in per key is
+    knowable BEFORE any join (way fan-in = len(ns), relation fan-in =
+    member count — the skew the reference works around with its 10k
+    bucket size, OsmJoin.java:397-398).  Salting engages only above
+    ``salt_trigger``, sized so each salted sub-group stays near the
+    trigger."""
+    if cfg.salt != "auto":
+        return cfg.salt
+    biggest = max(_max_list_len(ways, "ns"), _max_list_len(relations, "members"))
+    if biggest <= cfg.salt_trigger:
+        return None
+    return int(min(256, -(-biggest // cfg.salt_trigger) * 2))
 
 
 def build(documents: ray.data.Dataset, cfg: OsmPipelineConfig = OsmPipelineConfig()):
@@ -54,7 +90,8 @@ def build(documents: ray.data.Dataset, cfg: OsmPipelineConfig = OsmPipelineConfi
     # One giant lazy DAG is measurably slower on Ray's streaming executor
     # (too many concurrent operator stages contend); this mirrors the
     # reference's per-stage files and doubles as the checkpoint grain.
-    np_, salt = cfg.num_parts, cfg.salt
+    np_ = cfg.num_parts
+    salt = resolve_salt(ways, relations, cfg)
     wn = J.j1_way_nodes(nodes, P.way_edges(ways), np_)
     complete_ways = mat(J.j2_complete_ways(ways, wn, np_, salt))
     rn = J.j3_rel_nodes(nodes, P.node_rel_edges(relations), np_)

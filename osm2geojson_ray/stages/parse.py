@@ -184,6 +184,49 @@ def parse_relations_batch(batch: pa.Table) -> pa.Table:
 
 
 # ---------------------------------------------------------------------------
+# poison-row isolation (OsmJoin.java:130-133,178-182: a blob whose
+# processing THROWS is diverted to the problem file instead of killing
+# the run; here a throwing kernel bisects down to the poison rows, drops
+# them from the parse output, and rejects_batch reports them)
+# ---------------------------------------------------------------------------
+
+
+def robust(fn):
+    """Wrap a batch kernel: on exception, bisect to isolate poison rows
+    (dropped from this kernel's output; rejects_batch emits them with
+    reason='parse-exception').  The non-throwing fast path costs
+    nothing."""
+
+    def wrapped(batch: pa.Table) -> pa.Table:
+        try:
+            return fn(batch)
+        except Exception:
+            if batch.num_rows <= 1:
+                return fn(batch.slice(0, 0))
+            mid = batch.num_rows // 2
+            return pa.concat_tables(
+                [wrapped(batch.slice(0, mid)), wrapped(batch.slice(mid))]
+            )
+
+    return wrapped
+
+
+def poison_mask(batch: pa.Table, fn) -> np.ndarray:
+    """Boolean mask of rows on which ``fn`` throws (bisection probe;
+    zero extra work when the whole batch parses)."""
+    try:
+        fn(batch)
+        return np.zeros(batch.num_rows, dtype=bool)
+    except Exception:
+        if batch.num_rows <= 1:
+            return np.ones(batch.num_rows, dtype=bool)
+        mid = batch.num_rows // 2
+        return np.concatenate(
+            [poison_mask(batch.slice(0, mid), fn), poison_mask(batch.slice(mid), fn)]
+        )
+
+
+# ---------------------------------------------------------------------------
 # K3 rejects (OsmJoin.java:111-113,176-182,211-214,253-255)
 # ---------------------------------------------------------------------------
 
@@ -206,7 +249,21 @@ def rejects_batch(batch: pa.Table) -> pa.Table:
     reason[~known] = "unexpected-blob-type"  # OsmJoin.java:125-127
     reason[known & ~has_id] = "no-id"
     reason[node_m & has_id & ~(has_lat & has_lon)] = "no-coordinates"
-    sel = (~known) | (known & ~has_id) | (node_m & has_id & ~(has_lat & has_lon))
+    # blobs whose parse kernel THROWS (OsmJoin.java:130-133): one probe
+    # run per kernel (costs one parse pass of the batch; bisection only
+    # on actual poison)
+    poison = (
+        poison_mask(batch, parse_nodes_batch)
+        | poison_mask(batch, parse_ways_batch)
+        | poison_mask(batch, parse_relations_batch)
+    )
+    reason[poison & known] = "parse-exception"
+    sel = (
+        (~known)
+        | (known & ~has_id)
+        | (node_m & has_id & ~(has_lat & has_lon))
+        | (poison & known)
+    )
     keep = batch.filter(pa.array(sel))
     return pa.Table.from_arrays(
         [
@@ -260,15 +317,15 @@ def rel_edges_batch(rels: pa.Table, member_type: str) -> pa.Table:
 
 
 def parse_nodes(elements: ray.data.Dataset) -> ray.data.Dataset:
-    return elements.map_batches(parse_nodes_batch, batch_format="pyarrow", zero_copy_batch=True)
+    return elements.map_batches(robust(parse_nodes_batch), batch_format="pyarrow", zero_copy_batch=True)
 
 
 def parse_ways(elements: ray.data.Dataset) -> ray.data.Dataset:
-    return elements.map_batches(parse_ways_batch, batch_format="pyarrow", zero_copy_batch=True)
+    return elements.map_batches(robust(parse_ways_batch), batch_format="pyarrow", zero_copy_batch=True)
 
 
 def parse_relations(elements: ray.data.Dataset) -> ray.data.Dataset:
-    return elements.map_batches(parse_relations_batch, batch_format="pyarrow", zero_copy_batch=True)
+    return elements.map_batches(robust(parse_relations_batch), batch_format="pyarrow", zero_copy_batch=True)
 
 
 def parse_rejects(elements: ray.data.Dataset) -> ray.data.Dataset:

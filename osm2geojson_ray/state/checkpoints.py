@@ -103,7 +103,7 @@ def run_checkpointed_flagship(
     documents_path: str,
     workdir: str,
     num_parts: int = 32,
-    salt: int | None = None,
+    salt: int | str | None = "auto",
 ) -> dict:
     """The flagship DAG with a checkpoint at every stage boundary
     (OsmJoin.processAll stage structure, SURVEY.md §3.1).  Re-running
@@ -121,6 +121,10 @@ def run_checkpointed_flagship(
     ways = cp.stage("ways", lambda: P.parse_ways(elements))
     relations = cp.stage("relations", lambda: P.parse_relations(elements))
     cp.stage("rejects", lambda: P.parse_rejects(elements))
+    if salt == "auto":
+        from ..pipelines.osm import OsmPipelineConfig, resolve_salt
+
+        salt = resolve_salt(ways, relations, OsmPipelineConfig())
     complete_ways = cp.stage(
         "complete_ways",
         lambda: J.j2_complete_ways(ways, J.j1_way_nodes(nodes, P.way_edges(ways), num_parts), num_parts, salt),

@@ -173,3 +173,32 @@ def test_join_on_unique_rejects_duplicate_keys(ray_session):
     )
     with pytest.raises(Exception, match="duplicate key"):
         out.take_all()
+
+
+def test_auto_salt_triggers_on_mega_relation(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from osm2geojson_ray.pipelines.osm import OsmPipelineConfig, resolve_salt
+    from osm2geojson_ray.schema import RELATIONS, WAYS
+
+    def rels_with(n_members):
+        members = [{"id": i + 1, "type": "node", "role": ""} for i in range(n_members)]
+        return rd.from_arrow(
+            pa.Table.from_pylist(
+                [{"rel_id": 1, "tags": [], "members": members}], schema=RELATIONS
+            )
+        )
+
+    ways = rd.from_arrow(
+        pa.Table.from_pylist(
+            [{"way_id": 1, "tags": [], "ns": [1, 2, 3]}], schema=WAYS
+        )
+    )
+    cfg = OsmPipelineConfig(salt="auto", salt_trigger=1000)
+    assert resolve_salt(ways, rels_with(50), cfg) is None
+    s = resolve_salt(ways, rels_with(5000), cfg)
+    assert isinstance(s, int) and s > 1
+    # explicit settings pass through untouched
+    assert resolve_salt(ways, rels_with(5000), OsmPipelineConfig(salt=None)) is None
+    assert resolve_salt(ways, rels_with(50), OsmPipelineConfig(salt=8)) == 8

@@ -192,3 +192,22 @@ def test_kv_match_cannot_straddle_rows():
     rows = {r["node_id"]: r["tags"] for r in t.to_pylist()}
     assert rows[1] == []  # no garbage tag assembled across rows
     assert rows[2] == [{"key": "x", "value": "evil"}]
+
+
+def test_poison_blob_rejected_not_fatal():
+    # an id overflowing int64 makes the Arrow cast throw; the robust
+    # wrapper must drop ONLY that row and rejects must report it
+    poison = f'<node id="{10**25}" lat="1" lon="2"/>'
+    good = '<node id="42" lat="1" lon="2"/>'
+    batch = _els([good, poison, good])
+    out = parse.robust(parse.parse_nodes_batch)(batch)
+    assert out.column("node_id").to_pylist() == [42, 42]
+    rej = parse.rejects_batch(batch).to_pylist()
+    assert len(rej) == 1 and rej[0]["reason"] == "parse-exception"
+    assert rej[0]["kind"] == "node"
+
+
+def test_rejects_unchanged_without_poison(small_world):
+    # exception probing must not alter rejects on a clean corpus
+    rej = parse.rejects_batch(small_world["elements"]).to_pylist()
+    assert all(r["reason"] in ("no-id", "no-coordinates", "unexpected-blob-type") for r in rej)

@@ -25,7 +25,10 @@ def main() -> int:
     ap.add_argument("--workdir", required=True, help="checkpoint directory")
     ap.add_argument("--out", default=None, help="GeoJSON output directory")
     ap.add_argument("--num-parts", type=int, default=64)
-    ap.add_argument("--salt", type=int, default=None, help="mega-key salt (skew)")
+    ap.add_argument(
+        "--salt", default="auto",
+        help="mega-key salt: int, 'auto' (corpus-triggered, default), or 'none'",
+    )
     ap.add_argument("--tile-res", type=int, default=15)
     ap.add_argument("--sort-output", action="store_true")
     args = ap.parse_args()
@@ -43,8 +46,11 @@ def main() -> int:
     from osm2geojson_ray.stages.tiling import vertex_cells
     from osm2geojson_ray.state.checkpoints import run_checkpointed_flagship
 
+    salt = args.salt
+    if isinstance(salt, str):
+        salt = None if salt.lower() == "none" else (int(salt) if salt.isdigit() else "auto")
     out = run_checkpointed_flagship(
-        args.input, args.workdir, num_parts=args.num_parts, salt=args.salt
+        args.input, args.workdir, num_parts=args.num_parts, salt=salt
     )
     cp = out["pipeline"]
     features = out["features"]
