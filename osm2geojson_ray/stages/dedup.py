@@ -134,8 +134,34 @@ def simhash_bands(docs: ray.data.Dataset, num_parts: int = 32) -> ray.data.Datas
                          ["doc_a", "doc_b"], num_parts, dd)
 
 
+def _jaccard_small_plan(
+    sh: ray.data.Dataset, threshold: float, num_parts: int
+) -> ray.data.Dataset:
+    """Single-exchange exact plan for SMALL shingle tables (gated by row
+    count): co-group by source, pair-count via a pandas self-merge.  The
+    in-task work is quadratic in the source's doc count, which the gate
+    bounds; above the gate the PPJoin plan amortizes its ~10 exchanges."""
+
+    def pairs(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        m = df.merge(df, on=["source", "h"], suffixes=("_a", "_b"))
+        m = m[m["doc_id_a"] < m["doc_id_b"]]
+        inter = m.groupby(["doc_id_a", "doc_id_b"]).agg(
+            ni=("h", "size"), na=("size_a", "first"), nb=("size_b", "first")
+        ).reset_index()
+        jac = inter["ni"].astype(float) / (inter["na"] + inter["nb"] - inter["ni"]).astype(float)
+        keep = inter[jac >= threshold]
+        out = keep.rename(columns={"doc_id_a": "doc_a", "doc_id_b": "doc_b"})[["doc_a", "doc_b"]]
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    return partition_map(sh, ["source"], num_parts, pairs)
+
+
 def ngram_jaccard_pairs(
-    docs: ray.data.Dataset, threshold: float = 0.5, num_parts: int = 32
+    docs: ray.data.Dataset,
+    threshold: float = 0.5,
+    num_parts: int = 32,
+    small_plan_rows: int = 2_000_000,
 ) -> ray.data.Dataset:
     """Exact n-gram Jaccard near-dup pairs within each ``source`` —
     PPJoin-style prefix-filtered plan (replaces the r1 per-source
@@ -181,6 +207,12 @@ def ngram_jaccard_pairs(
         )
 
     sh = docs.map_batches(explode, batch_format="pyarrow", zero_copy_batch=True).materialize()
+
+    # scale-adaptive plan: under ``small_plan_rows`` exploded shingles the
+    # exchange latency of the PPJoin plan dominates — use the bounded
+    # single-exchange plan instead (same exact result)
+    if sh.count() <= small_plan_rows:
+        return _jaccard_small_plan(sh, threshold, min(num_parts, 8))
 
     # (2) document frequency with a per-batch combiner before the exchange
     def local_cnt(t: pa.Table) -> pa.Table:

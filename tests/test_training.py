@@ -131,3 +131,18 @@ def test_span_invariant_through_stages(small_corpus_dir):
     after = pa.Table.from_pylist(after_rows, schema=before.schema)
     sig_after = dict(zip(after.column("doc_id").to_pylist(), span_signature(after)))
     assert sig_before == sig_after
+
+
+def test_jaccard_plans_agree():
+    # the PPJoin (prefix-filter) plan and the small single-exchange plan
+    # must produce identical pair sets
+    docs = docs_ds()
+    small = sorted(
+        (r["doc_a"], r["doc_b"])
+        for r in D.ngram_jaccard_pairs(docs, 0.5, num_parts=4).take_all()
+    )
+    pp = sorted(
+        (r["doc_a"], r["doc_b"])
+        for r in D.ngram_jaccard_pairs(docs, 0.5, num_parts=4, small_plan_rows=0).take_all()
+    )
+    assert small == pp
