@@ -92,6 +92,11 @@ def q_ann_lsh(sf_dir: str):
     return S.ann_lsh(emb, query_every=ANN_QUERY_EVERY, k=ANN_K)
 
 
+def q_ann_ivf(sf_dir: str):
+    emb = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    return S.ann_ivf(emb, query_every=ANN_QUERY_EVERY, k=ANN_K, nprobe=4)
+
+
 def q_events_window(sf_dir: str):
     ev = ray.data.read_parquet(
         f"{sf_dir}/events.parquet", columns=["event_id", "ts", "user_id", "value"]
@@ -161,6 +166,7 @@ TRAINING_QUERIES = {
     "media_features": q_media_features,
     # rows-only: approximate by design (recall measured in tests)
     "ann_lsh": q_ann_lsh,
+    "ann_ivf": q_ann_ivf,
 }
 
 

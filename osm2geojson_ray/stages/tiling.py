@@ -717,7 +717,10 @@ def knn_distributed(
         )
         if final or remaining.count() == 0:
             break
-        res = max(0, res - 2)
+        # small centroid side: the terminal all-candidates round is cheap,
+        # so jump straight there instead of paying per-round exchange
+        # latency; large sides coarsen gradually (16x area per round)
+        res = 0 if n_cents <= 200_000 else max(0, res - 2)
 
     out = rounds[0]
     for r in rounds[1:]:

@@ -146,3 +146,16 @@ def test_jaccard_plans_agree():
         for r in D.ngram_jaccard_pairs(docs, 0.5, num_parts=4, small_plan_rows=0).take_all()
     )
     assert small == pp
+
+
+def test_ann_ivf_recall_vs_bruteforce():
+    emb = rd.read_parquet(f"{SF}/embeddings.parquet", columns=["vec_id", "embedding"])
+    brute = S.ann_bruteforce(emb, query_every=50, k=5, num_parts=4).take_all()
+    ivf = S.ann_ivf(emb, query_every=50, k=5, nprobe=4, num_parts=4).take_all()
+    bset = {(r["query_id"], r["neighbor_id"]) for r in brute}
+    iset = {(r["query_id"], r["neighbor_id"]) for r in ivf}
+    queries = {r["query_id"] for r in brute}
+    # a query's own inverted list is always probed → self-match guaranteed
+    assert all((q, q) in iset for q in queries)
+    recall = len(bset & iset) / len(bset)
+    assert recall > 0.4  # approximate by design; nprobe trades recall for scale
