@@ -105,6 +105,32 @@ def batch_findall(arr: pa.Array | pa.ChunkedArray, pattern_b: re.Pattern) -> tup
     return row_idx, groups
 
 
+def batch_finditer(arr: pa.Array | pa.ChunkedArray, pattern_b: re.Pattern) -> tuple[np.ndarray, list[bytes]]:
+    """Like batch_findall but returns each FULL match (bytes) instead of
+    its group tuple — used by span→element extraction."""
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    n = len(arr)
+    if n == 0:
+        return np.empty(0, dtype=np.int64), []
+    data, starts = _string_buffer(arr)
+    sstarts = starts + np.arange(n + 1, dtype=np.int64)
+    out = np.zeros(starts[-1] + n, dtype=np.uint8)
+    mask = np.ones(len(out), dtype=bool)
+    mask[sstarts[1:] - 1] = False
+    out[mask] = data
+    blob = out.tobytes()
+    positions: list[int] = []
+    matches: list[bytes] = []
+    for m in pattern_b.finditer(blob):
+        positions.append(m.start())
+        matches.append(m.group(0))
+    if not positions:
+        return np.empty(0, dtype=np.int64), []
+    row_idx = np.searchsorted(sstarts, np.asarray(positions, dtype=np.int64), side="right") - 1
+    return row_idx, matches
+
+
 # ---------------------------------------------------------------------------
 # XML unescape (nodes only — OsmJoin.java:170 vs the :198 quirk where way /
 # relation tag values are NOT unescaped; replicated by the callers).

@@ -36,7 +36,7 @@ from ray.data.block import BlockMetadata
 from ray.data.datasource import Datasource, ReadTask
 
 from ..schema import ELEMENTS
-from .documents import chunk_span_regex
+from .documents import chunk_span_regex, normalize_blob_b as _normalize_blob_b
 
 # bytes twin of documents._BLOB_RE (anchor bytes are ASCII; UTF-8
 # continuation bytes can't alias '<' or '>')
@@ -44,15 +44,6 @@ _BLOB_RE_B = re.compile(
     rb"<(node|way|relation)\b[^>]*?(?:/>|>.*?</\1>)",
     re.DOTALL,
 )
-_WS_RE_B = re.compile(rb"\n\s*")
-
-
-def _normalize_blob_b(raw: bytes) -> str:
-    """Decode one element blob and apply the chunker's newline
-    normalization (identical to documents.chunk_span_regex)."""
-    return _WS_RE_B.sub(lambda m: m.group(0).replace(b"\n", b""), raw).decode(
-        "utf-8", errors="replace"
-    )
 
 
 def _elements_table(doc_id: str, span_idx: int, blobs: list[str]) -> pa.Table:
