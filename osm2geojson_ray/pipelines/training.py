@@ -338,6 +338,57 @@ ranked AS (
 SELECT query_id, neighbor_id, CAST(rnk AS BIGINT) AS rnk FROM ranked WHERE rnk <= {ANN_K}
 """
 
+    # ann_lsh IS oracle-checkable despite being "approximate": the seeded
+    # hyperplanes make bucketing fully deterministic, so we replicate the
+    # plane matrix as SQL literals and re-derive bucket codes, hamming-1
+    # multi-probe candidate sets and the global cosine top-k in DuckDB.
+    # Pinned to the sf0.01 embeddings shape (n=500, d=64 -> n_planes=4),
+    # like the corpus-pinned OSM oracles above.
+    import numpy as np
+
+    _d, _n = 64, 500
+    _npl = min(24, max(4, int(round(np.log2(max(_n / (8.0 * ANN_K), 2.0))))))
+    _planes = np.random.RandomState(42).normal(size=(_npl, _d))
+    _vals = ",".join(
+        f"({p},{di + 1},{w!r})"
+        for p in range(_npl)
+        for di, w in enumerate(_planes[p])
+    )
+    _masks = ",".join(["(0)"] + [f"({1 << b})" for b in range(_npl)])
+    sql["ann_lsh"] = f"""
+WITH pl(p, di, w) AS (VALUES {_vals}),
+e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+dots AS (
+  SELECT e.vec_id, pl.p, sum(e.emb[pl.di] * pl.w) AS dot
+  FROM e CROSS JOIN pl GROUP BY 1, 2
+),
+buckets AS (
+  SELECT vec_id,
+         CAST(sum(CASE WHEN dot > 0 THEN CAST(pow(2, p) AS BIGINT) ELSE 0 END) AS BIGINT) AS bucket
+  FROM dots GROUP BY vec_id
+),
+probes AS (
+  SELECT b.vec_id, xor(b.bucket, CAST(m.m AS BIGINT)) AS bucket
+  FROM buckets b CROSS JOIN (VALUES {_masks}) AS m(m)
+  WHERE b.vec_id % {ANN_QUERY_EVERY} = 0
+),
+cand AS (
+  SELECT DISTINCT p.vec_id AS query_id, d.vec_id AS neighbor_id
+  FROM probes p JOIN buckets d ON d.bucket = p.bucket
+),
+ranked AS (
+  SELECT c.query_id, c.neighbor_id,
+         row_number() OVER (
+           PARTITION BY c.query_id
+           ORDER BY list_cosine_similarity(eq.emb, ed.emb) DESC, c.neighbor_id
+         ) AS rnk
+  FROM cand c
+  JOIN e eq ON eq.vec_id = c.query_id
+  JOIN e ed ON ed.vec_id = c.neighbor_id
+)
+SELECT query_id, neighbor_id, CAST(rnk AS BIGINT) AS rnk FROM ranked WHERE rnk <= {ANN_K}
+"""
+
     sql["events_window"] = """
 SELECT user_id,
        CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS window_epoch,
