@@ -76,6 +76,36 @@ def test_ann_lsh_recall_vs_bruteforce():
     assert recall > 0.2  # approximate by design; bucketing trades recall for scale
 
 
+def test_ann_lsh_matches_sql_oracle_at_gate_scale():
+    # The LSH oracle embeds seeded sf0.01-shaped planes as SQL literals
+    # (training.py); pin the engine/oracle equivalence at that scale.
+    import duckdb
+
+    from osm2geojson_ray.pipelines.training import training_oracles
+
+    sf = "/root/testdata/sf0.01"
+    emb = rd.read_parquet(f"{sf}/embeddings.parquet", columns=["vec_id", "embedding"])
+    got = (
+        S.ann_lsh(emb, query_every=50, k=5, num_parts=4)
+        .to_pandas()
+        .sort_values(["query_id", "rnk"])
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW embeddings AS SELECT * FROM read_parquet('{sf}/embeddings.parquet')"
+    )
+    want = (
+        con.execute(training_oracles("unused")["ann_lsh"])
+        .df()
+        .sort_values(["query_id", "rnk"])
+        .reset_index(drop=True)
+    )
+    assert got[["query_id", "neighbor_id", "rnk"]].equals(
+        want[["query_id", "neighbor_id", "rnk"]]
+    )
+
+
 def test_sessionize_gap_semantics():
     import pandas as pd
 
