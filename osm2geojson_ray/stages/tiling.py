@@ -671,7 +671,10 @@ def knn_distributed(
             # d_k per group, vectorized: the row whose rank == min(k, n_cand)
             is_kth = df["rnk"] == np.minimum(n_cand, kk)
             dk = df["point_id"].map(df.loc[is_kth].set_index("point_id")["d2"])
-            resolved = fin | ((n_cand >= kk) & (dk < md))
+            # dk is SQUARED distance; exactness needs sqrt(dk) < md, i.e.
+            # dk < md*md (comparing d2 to the linear md wrongly resolves
+            # points once min_dim < 1 deg — fine index_res regimes).
+            resolved = fin | ((n_cand >= kk) & (dk < md * md))
             out_rows = df[resolved & (df["rnk"] <= kk) & df["polygon_id"].notna()]
             out = pd.DataFrame(
                 {

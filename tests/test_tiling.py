@@ -193,6 +193,39 @@ def test_knn_distributed_matches_bruteforce(small_world):
     assert dist == brute and len(brute) > 0
 
 
+def test_knn_distributed_fine_res_matches_bruteforce(small_world):
+    # index_res >= 8 makes min(cell_w, cell_h) < 1 deg: the resolve check
+    # must compare the SQUARED kth distance to md*md (ADVICE r2 high) —
+    # comparing d2 to linear md wrongly resolved points whose true
+    # neighbor sat outside the 3x3 block.
+    import ray.data as rdd
+
+    from osm2geojson_ray.stages.join import j1_way_nodes, j2_complete_ways
+    from osm2geojson_ray.stages.parse import parse_nodes, parse_ways, way_edges
+    from osm2geojson_ray.stages.postprocess import poi_features, way_features
+    from osm2geojson_ray.stages.tiling import knn_distributed, knn_points_to_centroids
+
+    els = rdd.from_arrow(small_world["elements"])
+    nodes = parse_nodes(els).materialize()
+    ways = parse_ways(els).materialize()
+    cw = j2_complete_ways(ways, j1_way_nodes(nodes, way_edges(ways), 8), 8).materialize()
+    points = poi_features(nodes).materialize()
+    polys = way_features(cw).map_batches(
+        lambda t: t.filter(pa.compute.equal(t["geom_type"], "Polygon")),
+        batch_format="pyarrow",
+    ).materialize()
+    brute = sorted(
+        (r["point_id"], r["rank"], r["polygon_id"])
+        for r in knn_points_to_centroids(points, polys, k=3).take_all()
+    )
+    for res in (8, 9):
+        dist = sorted(
+            (r["point_id"], r["rank"], r["polygon_id"])
+            for r in knn_distributed(points, polys, k=3, index_res=res, num_parts=4).take_all()
+        )
+        assert dist == brute and len(brute) > 0
+
+
 def test_knn_distributed_no_polygons(small_world):
     import ray.data as rdd
 
