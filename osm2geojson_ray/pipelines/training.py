@@ -22,6 +22,8 @@ from ..stages.multimodal import media_features
 
 ANN_QUERY_EVERY = 50
 ANN_K = 5
+ANN_IVF_NPROBE = 4
+ANN_IVF_ITERS = 3
 EMB_DUP_THRESHOLD = 0.40  # near-dup bar calibrated to the synthetic
 # embedding distribution (within-label max cos ≈ 0.47 at sf0.01) so the
 # operator produces a non-trivial, oracle-checkable pair set
@@ -94,7 +96,10 @@ def q_ann_lsh(sf_dir: str):
 
 def q_ann_ivf(sf_dir: str):
     emb = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
-    return S.ann_ivf(emb, query_every=ANN_QUERY_EVERY, k=ANN_K, nprobe=4)
+    return S.ann_ivf(
+        emb, query_every=ANN_QUERY_EVERY, k=ANN_K, nprobe=ANN_IVF_NPROBE,
+        n_iters=ANN_IVF_ITERS,
+    )
 
 
 def q_events_window(sf_dir: str):
@@ -164,7 +169,9 @@ TRAINING_QUERIES = {
     "sessionize": q_sessionize,
     "lineitem_agg": q_lineitem_agg,
     "media_features": q_media_features,
-    # rows-only: approximate by design (recall measured in tests)
+    # approximate by design, but seeded/deterministic → both oracle-backed
+    # (LSH: seeded planes as SQL literals; IVF: sample-trained centroids
+    # re-derived by the oracle generator and inlined as SQL literals)
     "ann_lsh": q_ann_lsh,
     "ann_ivf": q_ann_ivf,
 }
@@ -375,6 +382,60 @@ probes AS (
 cand AS (
   SELECT DISTINCT p.vec_id AS query_id, d.vec_id AS neighbor_id
   FROM probes p JOIN buckets d ON d.bucket = p.bucket
+),
+ranked AS (
+  SELECT c.query_id, c.neighbor_id,
+         row_number() OVER (
+           PARTITION BY c.query_id
+           ORDER BY list_cosine_similarity(eq.emb, ed.emb) DESC, c.neighbor_id
+         ) AS rnk
+  FROM cand c
+  JOIN e eq ON eq.vec_id = c.query_id
+  JOIN e ed ON ed.vec_id = c.neighbor_id
+)
+SELECT query_id, neighbor_id, CAST(rnk AS BIGINT) AS rnk FROM ranked WHERE rnk <= {ANN_K}
+"""
+
+    # ann_ivf: the coarse quantizer is sample-trained and fully
+    # deterministic (ivf_train sorts the sample by vec_id and calls the
+    # pure _lloyd_spherical), so the oracle generator re-derives the
+    # IDENTICAL centroid matrix from the sf0.01 parquet bytes — no Ray —
+    # and inlines it as SQL literals; assignment (argmax dot, ties →
+    # lower cluster id), nprobe probing and the cosine top-k are plain
+    # SQL.  Pinned to the sf0.01 gate scale like the LSH/corpus oracles.
+    import pyarrow.parquet as pq
+
+    from ..stages.similarity import _lloyd_spherical, _matrix, ivf_sample_params
+
+    _et = pq.read_table(
+        "/root/testdata/sf0.01/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    _eids, _emat = _matrix(_et)
+    _ncent, _sev = ivf_sample_params(_et.num_rows, None, None)
+    _ssel = _eids % _sev == 0
+    _sids, _smat = _eids[_ssel], _emat[_ssel]
+    _cent = _lloyd_spherical(_smat[np.argsort(_sids)], _ncent, ANN_IVF_ITERS)
+    _cvals = ",".join(
+        f"({c},{di + 1},{w!r})" for c in range(len(_cent)) for di, w in enumerate(_cent[c])
+    )
+    sql["ann_ivf"] = f"""
+WITH cent(c, di, w) AS (VALUES {_cvals}),
+e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+dots AS (
+  SELECT e.vec_id, cent.c, sum(e.emb[cent.di] * cent.w) AS dot
+  FROM e CROSS JOIN cent GROUP BY 1, 2
+),
+own AS (
+  SELECT vec_id, c AS bucket FROM dots
+  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY dot DESC, c) = 1
+),
+probes AS (
+  SELECT vec_id, c AS bucket FROM dots WHERE vec_id % {ANN_QUERY_EVERY} = 0
+  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY dot DESC, c) <= {ANN_IVF_NPROBE}
+),
+cand AS (
+  SELECT DISTINCT p.vec_id AS query_id, o.vec_id AS neighbor_id
+  FROM probes p JOIN own o ON o.bucket = p.bucket
 ),
 ranked AS (
   SELECT c.query_id, c.neighbor_id,

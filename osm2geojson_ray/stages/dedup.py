@@ -18,6 +18,7 @@ import ray.data
 
 from ..functions import hashing as H
 from ..functions.grouping import distinct, partition_map
+from .similarity import _emb64
 
 
 def _md5_batch(texts: list[str]) -> list[str]:
@@ -342,17 +343,33 @@ def embedding_dup_pairs(
         # a hash partition can hold several (label, bi, bj) groups; each
         # group's kernel is a bounded block×block matmul.  A row appears
         # in group (b, b) exactly once (other == b), so no dedup needed.
+        # Group bounds via lexsort over the composite key (no pandas, no
+        # per-group embedding tolist — the matrix is built ONCE zero-copy).
+        if t.num_rows == 0:
+            return pa.table({"vec_a": pa.array([], pa.int64()),
+                             "vec_b": pa.array([], pa.int64())})
+        lab = np.asarray(t.column("label"))
+        bia = np.asarray(t.column("bi"))
+        bja = np.asarray(t.column("bj"))
+        blka = np.asarray(t.column("blk"))
+        idsa = np.asarray(t.column("vec_id"))
+        mat = _emb64(t.column("embedding"))
+        norms = np.sqrt((mat * mat).sum(axis=1))
+        normed = mat / norms[:, None]
+        order = np.lexsort((bja, bia, lab))
+        ls, is_, js = lab[order], bia[order], bja[order]
+        change = (ls[1:] != ls[:-1]) | (is_[1:] != is_[:-1]) | (js[1:] != js[:-1])
+        bounds = np.concatenate([[0], np.nonzero(change)[0] + 1, [len(order)]])
         out_a: list[np.ndarray] = []
         out_b: list[np.ndarray] = []
-        df = t.to_pandas()
-        for (_lab, bi, bj), g in df.groupby(["label", "bi", "bj"], sort=False):
-            ids = g["vec_id"].to_numpy()
-            mat = np.asarray(g["embedding"].tolist(), dtype=np.float64)
-            blk = g["blk"].to_numpy()
-            norms = np.sqrt((mat * mat).sum(axis=1))
-            normed = mat / norms[:, None]
+        for s, e in zip(bounds[:-1], bounds[1:]):
+            sel = order[s:e]
+            bi, bj = is_[s], js[s]
+            ids = idsa[sel]
+            gn = normed[sel]
+            blk = blka[sel]
             if bi == bj:
-                sim = normed @ normed.T
+                sim = gn @ gn.T
                 ii, jj = np.nonzero(np.triu(sim >= threshold, k=1))
                 ai, bj_ = ids[ii], ids[jj]
             else:
@@ -360,7 +377,7 @@ def embedding_dup_pairs(
                 bm = ~am
                 if not am.any() or not bm.any():
                     continue
-                sim = normed[am] @ normed[bm].T
+                sim = gn[am] @ gn[bm].T
                 ii, jj = np.nonzero(sim >= threshold)
                 ai, bj_ = ids[am][ii], ids[bm][jj]
             out_a.append(np.minimum(ai, bj_))

@@ -59,18 +59,32 @@ def extract_media_spans(documents: ray.data.Dataset) -> ray.data.Dataset:
     invariant)."""
 
     def f(t: pa.Table) -> pa.Table:
-        out = {"doc_id": [], "span_idx": [], "media_ref": []}
-        for doc_id, spans in zip(t.column("doc_id").to_pylist(), t.column("spans").to_pylist()):
-            for si, s in enumerate(spans or []):
-                if s["kind"] == "media":
-                    out["doc_id"].append(doc_id)
-                    out["span_idx"].append(si)
-                    out["media_ref"].append(s["media_ref"])
+        # vectorized flatten + kind filter (same shape as
+        # sources.documents.extract_elements_batch) — no per-doc loop
+        import numpy as np
+        import pyarrow.compute as pc
+
+        spans = t.column("spans").combine_chunks()
+        lens = np.asarray(spans.value_lengths().fill_null(0), dtype=np.int64)
+        total = int(lens.sum())
+        if total == 0:
+            return pa.table(
+                {"doc_id": pa.array([], pa.string()),
+                 "span_idx": pa.array([], pa.int64()),
+                 "media_ref": pa.array([], pa.string())}
+            )
+        row = np.repeat(np.arange(len(lens), dtype=np.int64), lens)
+        span_idx = np.concatenate([np.arange(n, dtype=np.int64) for n in lens])
+        flat = spans.flatten()
+        mask = pc.equal(flat.field("kind"), "media")
+        mask_np = np.asarray(mask.combine_chunks() if isinstance(mask, pa.ChunkedArray) else mask)
+        sel = np.nonzero(mask_np)[0]
+        doc = t.column("doc_id").combine_chunks()
         return pa.table(
             {
-                "doc_id": pa.array(out["doc_id"], pa.string()),
-                "span_idx": pa.array(out["span_idx"], pa.int64()),
-                "media_ref": pa.array(out["media_ref"], pa.string()),
+                "doc_id": doc.take(pa.array(row[sel])),
+                "span_idx": pa.array(span_idx[sel], pa.int64()),
+                "media_ref": flat.field("media_ref").take(pa.array(sel)),
             }
         )
 

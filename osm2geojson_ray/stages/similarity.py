@@ -12,10 +12,22 @@ import ray
 import ray.data
 
 
+def _emb64(col: pa.ChunkedArray | pa.Array) -> np.ndarray:
+    """float64 (n, d) matrix from a fixed-length list<float> column —
+    zero-copy via the list values buffer (flatten + reshape), upcast to
+    float64 (bit-identical to the old per-row to_pylist path, without the
+    full Python materialization)."""
+    emb = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    n = len(emb)
+    if n == 0:
+        return np.empty((0, 0), np.float64)
+    vals = np.asarray(emb.flatten())
+    return vals.reshape(n, -1).astype(np.float64, copy=False)
+
+
 def _matrix(t: pa.Table) -> tuple[np.ndarray, np.ndarray]:
     ids = np.asarray(t.column("vec_id"))
-    mat = np.asarray(t.column("embedding").combine_chunks().to_pylist(), dtype=np.float64)
-    return ids, mat
+    return ids, _emb64(t.column("embedding"))
 
 
 def select_queries_batch(t: pa.Table, every: int) -> pa.Table:
@@ -121,12 +133,12 @@ def ann_lsh(
         n_planes = min(24, max(4, int(round(np.log2(max(n / (8.0 * k), 2.0))))))
     rng = np.random.RandomState(seed)
     planes = rng.normal(size=(n_planes, d)).astype(np.float64)
-    pref = ray.put(planes)
 
     def bucketize(t: pa.Table) -> pa.Table:
+        # the plane matrix is tiny (n_planes x d) — shipped once per task
+        # in the closure; no object-store round-trip needed
         ids, mat = _matrix(t)
-        pl = ray.get(pref)
-        signs = (mat @ pl.T) > 0
+        signs = (mat @ planes.T) > 0
         bucket = np.zeros(len(ids), dtype=np.int64)
         for b in range(n_planes):
             bucket |= signs[:, b].astype(np.int64) << b
@@ -152,39 +164,6 @@ def ann_lsh(
         return pa.concat_tables(tables)
 
     bucketed = embeddings.map_batches(bucketize, batch_format="pyarrow", zero_copy_batch=True)
-
-    from ..functions.grouping import partition_map
-
-    def search(t: pa.Table) -> pa.Table:
-        # local top-k per (query, bucket); global merge happens next stage
-        df_ids = np.asarray(t.column("vec_id"))
-        buckets = np.asarray(t.column("bucket"))
-        isq = np.asarray(t.column("is_query"))
-        mat = np.asarray(t.column("embedding").combine_chunks().to_pylist(), dtype=np.float64)
-        norms = np.sqrt((mat * mat).sum(axis=1))
-        out_q: list[np.ndarray] = []
-        out_n: list[np.ndarray] = []
-        out_s: list[np.ndarray] = []
-        for b in np.unique(buckets[isq]):
-            sel = buckets == b
-            dsel = sel & ~isq
-            qsel = sel & isq
-            if not dsel.any() or not qsel.any():
-                continue
-            sim = (mat[qsel] @ mat[dsel].T) / (norms[qsel][:, None] * norms[dsel][None, :])
-            kk = min(k, sim.shape[1])
-            idx = np.argpartition(-sim, kk - 1, axis=1)[:, :kk]
-            out_q.append(np.repeat(df_ids[qsel], kk))
-            out_n.append(df_ids[dsel][idx.ravel()])
-            out_s.append(np.take_along_axis(sim, idx, axis=1).ravel())
-        if out_q:
-            q = np.concatenate(out_q); nn = np.concatenate(out_n); ss = np.concatenate(out_s)
-        else:
-            q = np.empty(0, np.int64); nn = np.empty(0, np.int64); ss = np.empty(0, np.float64)
-        return pa.table({"query_id": pa.array(q, pa.int64()),
-                         "neighbor_id": pa.array(nn, pa.int64()),
-                         "sim": pa.array(ss, pa.float64())})
-
     return _bucketed_topk(bucketed, k, num_parts)
 
 
@@ -197,7 +176,7 @@ def _bucketed_topk(bucketed: ray.data.Dataset, k: int, num_parts: int) -> ray.da
         df_ids = np.asarray(t.column("vec_id"))
         buckets = np.asarray(t.column("bucket"))
         isq = np.asarray(t.column("is_query"))
-        mat = np.asarray(t.column("embedding").combine_chunks().to_pylist(), dtype=np.float64)
+        mat = _emb64(t.column("embedding"))
         norms = np.sqrt((mat * mat).sum(axis=1))
         out_q: list[np.ndarray] = []
         out_n: list[np.ndarray] = []
@@ -239,95 +218,92 @@ def _bucketed_topk(bucketed: ray.data.Dataset, k: int, num_parts: int) -> ray.da
     return partition_map(local, ["query_id"], num_parts, global_topk)
 
 
-def _centroid_refs(tables_refs) -> tuple[np.ndarray, np.ndarray]:
-    """Assemble the (cluster_ids, centroid matrix) from object-store refs
-    (never through the driver)."""
-    tabs = [t for t in ray.get(list(tables_refs)) if t.num_rows]
-    if not tabs:
-        return np.empty(0, np.int64), np.empty((0, 0), np.float64)
-    t = pa.concat_tables(tabs)
-    ids = np.asarray(t.column("cluster"))
-    mat = np.asarray(t.column("centroid").combine_chunks().to_pylist(), dtype=np.float64)
-    return ids, mat
+def _lloyd_spherical(mat: np.ndarray, n_centroids: int, n_iters: int) -> np.ndarray:
+    """Pure, DETERMINISTIC spherical k-means (Lloyd) in float64.
+
+    Shared VERBATIM by the engine quantizer (``ivf_train``) and the
+    DuckDB oracle generator (``training.py`` inlines the resulting
+    centroids as SQL literals) — same input bits in, same centroid bits
+    out, regardless of how the engine partitioned the data.  Contract:
+    ``mat`` rows in a fixed order (callers sort the sample by vec_id).
+
+    Init: every (n//k)-th row.  Assignment: argmax cosine (first-max on
+    ties).  Empty clusters keep their previous centroid.  Centroids are
+    re-normalized to the unit sphere each iteration.
+    """
+    n = len(mat)
+    norm = np.sqrt((mat * mat).sum(axis=1))
+    norm[norm == 0] = 1.0
+    normed = mat / norm[:, None]
+    k = max(1, min(n_centroids, n))
+    step = max(1, n // k)
+    cent = normed[::step][:k].copy()
+    for _ in range(n_iters):
+        assign = np.argmax(normed @ cent.T, axis=1)
+        order = np.argsort(assign, kind="stable")
+        aa = assign[order]
+        bounds = np.concatenate([[0], np.nonzero(aa[1:] != aa[:-1])[0] + 1])
+        sums = np.add.reduceat(normed[order], bounds, axis=0)
+        counts = np.diff(np.concatenate([bounds, [n]]))
+        newc = cent.copy()
+        newc[aa[bounds]] = sums / counts[:, None]
+        cn = np.sqrt((newc * newc).sum(axis=1))
+        cn[cn == 0] = 1.0
+        cent = newc / cn[:, None]
+    return cent
 
 
-def kmeans_centroids(
+def ivf_sample_params(n: int, n_centroids: int | None, sample_every: int | None) -> tuple[int, int]:
+    """Deterministic (n_centroids, sample_every) from the row count —
+    one shared formula so the oracle generator derives the exact same
+    quantizer inputs from the parquet row count alone."""
+    if n_centroids is None:
+        n_centroids = max(4, int(np.sqrt(max(n, 1))))
+    if sample_every is None:
+        # ~64 training vectors per centroid; at sf0.01 (n=500) this is 1
+        # (full data), at 1e9 rows / 31k centroids it samples ~2M rows
+        sample_every = max(1, n // (64 * n_centroids))
+    return n_centroids, sample_every
+
+
+def ivf_train(
     embeddings: ray.data.Dataset,
     n_centroids: int,
+    sample_every: int,
     n_iters: int = 3,
-    num_parts: int = 16,
-):
-    """Distributed Lloyd k-means on the unit sphere (cosine): per-batch
-    partial (cluster, sum, count) combiner → one small exchange per
-    iteration; centroid tables live in the object store (refs broadcast,
-    no driver gather).  Deterministic init: every (n/n_centroids)-th
-    vec_id."""
-    from ..functions.grouping import partition_map
+) -> "ray.ObjectRef":
+    """Sample-trained coarse quantizer — the IVF scale path (train on a
+    deterministic sample, then ONE full-data assignment pass; the r2
+    distributed-Lloyd variant cost a full-data exchange PER iteration and
+    rebuilt centroid state per batch).
 
-    n = embeddings.count()
-    every = max(1, n // max(1, n_centroids))
+    The sample (vec_id % sample_every == 0, sorted by vec_id — bounded at
+    ~64 vectors/centroid by ``ivf_sample_params``) flows map_batches →
+    object store → a single remote training task; only the (k, d) float64
+    centroid matrix ref comes back for per-actor broadcast.  Nothing
+    passes through the driver.
+    """
 
-    def init_sel(t: pa.Table) -> pa.Table:
-        ids, mat = _matrix(t)
-        sel = ids % every == 0
-        norm = np.sqrt((mat[sel] * mat[sel]).sum(axis=1))
-        return pa.table(
-            {"cluster": pa.array(ids[sel], pa.int64()),
-             "centroid": pa.array((mat[sel] / norm[:, None]).tolist(),
-                                  pa.list_(pa.float64()))}
-        )
+    def sample_batch(t: pa.Table) -> pa.Table:
+        ids = np.asarray(t.column("vec_id"))
+        return t.select(["vec_id", "embedding"]).filter(pa.array(ids % sample_every == 0))
 
-    refs = embeddings.map_batches(init_sel, batch_format="pyarrow").materialize().to_arrow_refs()
+    refs = (
+        embeddings.map_batches(sample_batch, batch_format="pyarrow")
+        .materialize()
+        .to_arrow_refs()
+    )
 
-    for _ in range(n_iters):
-        def partial(t: pa.Table, r=refs) -> pa.Table:
-            if t.num_rows == 0:
-                return pa.table(
-                    {"cluster": pa.array([], pa.int64()),
-                     "vsum": pa.array([], pa.list_(pa.float64())),
-                     "count": pa.array([], pa.int64())}
-                )
-            cids, cmat = _centroid_refs(r)
-            ids, mat = _matrix(t)
-            norm = np.sqrt((mat * mat).sum(axis=1))
-            normed = mat / norm[:, None]
-            cl = np.argmax(normed @ cmat.T, axis=1)
-            order = np.argsort(cl, kind="stable")
-            cls = cl[order]
-            bounds = np.concatenate([[0], np.nonzero(cls[1:] != cls[:-1])[0] + 1])
-            sums = np.add.reduceat(normed[order], bounds, axis=0)
-            counts = np.diff(np.concatenate([bounds, [len(cls)]]))
-            return pa.table(
-                {"cluster": pa.array(cids[cls[bounds]], pa.int64()),
-                 "vsum": pa.array(sums.tolist(), pa.list_(pa.float64())),
-                 "count": pa.array(counts, pa.int64())}
-            )
+    @ray.remote
+    def train(ref_list: list) -> np.ndarray:
+        tabs = [tb for tb in ray.get(ref_list) if tb.num_rows]
+        if not tabs:
+            return np.empty((0, 0), np.float64)
+        ids, mat = _matrix(pa.concat_tables(tabs))
+        order = np.argsort(ids)  # block order is partition-dependent; vec_id order is not
+        return _lloyd_spherical(mat[order], n_centroids, n_iters)
 
-        partials = embeddings.map_batches(partial, batch_format="pyarrow")
-
-        def reduce_cent(t: pa.Table) -> pa.Table:
-            cl = np.asarray(t.column("cluster"))
-            vs = np.asarray(t.column("vsum").combine_chunks().to_pylist(), dtype=np.float64)
-            ct = np.asarray(t.column("count"), dtype=np.float64)
-            order = np.argsort(cl, kind="stable")
-            cls = cl[order]
-            bounds = np.concatenate([[0], np.nonzero(cls[1:] != cls[:-1])[0] + 1])
-            sums = np.add.reduceat(vs[order], bounds, axis=0)
-            counts = np.add.reduceat(ct[order], bounds)
-            cent = sums / counts[:, None]
-            norm = np.sqrt((cent * cent).sum(axis=1))
-            norm[norm == 0] = 1.0
-            return pa.table(
-                {"cluster": pa.array(cls[bounds], pa.int64()),
-                 "centroid": pa.array((cent / norm[:, None]).tolist(), pa.list_(pa.float64()))}
-            )
-
-        refs = (
-            partition_map(partials, ["cluster"], max(4, num_parts // 4), reduce_cent)
-            .materialize()
-            .to_arrow_refs()
-        )
-    return refs
+    return train.remote(list(refs))
 
 
 def ann_ivf(
@@ -338,54 +314,67 @@ def ann_ivf(
     nprobe: int = 2,
     n_iters: int = 3,
     num_parts: int = 16,
+    sample_every: int | None = None,
 ) -> ray.data.Dataset:
     """IVF ANN — the k-means-quantized scale path: a coarse quantizer
-    (distributed Lloyd on the unit sphere) assigns every vector to its
-    nearest centroid's inverted list; queries probe their ``nprobe``
-    nearest lists.  ``n_centroids=None`` auto-sizes to ~sqrt(n) (bounded
-    inverted lists, candidate work per query ≈ nprobe·n/√n).
-    Approximate — recall measured against ann_bruteforce in tests."""
+    (sample-trained deterministic spherical k-means, see ``ivf_train``)
+    assigns every vector to its nearest centroid's inverted list; queries
+    probe their ``nprobe`` nearest lists (stable tie-break: lower cluster
+    id first, matching the SQL oracle's ORDER BY dot DESC, c ASC).
+    ``n_centroids=None`` auto-sizes to ~sqrt(n) (bounded inverted lists,
+    candidate work per query ≈ nprobe·n/√n).  Fully deterministic →
+    oracle-backed: training.py re-derives the identical centroids via the
+    shared ``_lloyd_spherical`` and pins assignment + probing + top-k in
+    DuckDB."""
     n = embeddings.count()
-    if n_centroids is None:
-        n_centroids = max(4, int(np.sqrt(max(n, 1))))
-    refs = kmeans_centroids(embeddings, n_centroids, n_iters=n_iters, num_parts=num_parts)
+    n_centroids, sample_every = ivf_sample_params(n, n_centroids, sample_every)
+    cent_ref = ivf_train(embeddings, n_centroids, sample_every, n_iters=n_iters)
 
-    def bucketize(t: pa.Table) -> pa.Table:
-        if t.num_rows == 0:
-            return pa.table(
-                {"vec_id": pa.array([], pa.int64()),
-                 "bucket": pa.array([], pa.int64()),
-                 "is_query": pa.array([], pa.bool_()),
-                 "embedding": pa.array([], pa.list_(pa.float64()))}
-            )
-        cids, cmat = _centroid_refs(refs)
-        ids, mat = _matrix(t)
-        norm = np.sqrt((mat * mat).sum(axis=1))
-        normed = mat / norm[:, None]
-        sim = normed @ cmat.T
-        own = np.argmax(sim, axis=1)
-        base = pa.table(
-            {"vec_id": pa.array(ids, pa.int64()),
-             "bucket": pa.array(cids[own], pa.int64()),
-             "is_query": pa.array(np.zeros(len(ids), bool)),
-             "embedding": t.column("embedding")}
-        )
-        tables = [base]
-        is_q = ids % query_every == 0
-        if is_q.any():
-            q_sel = np.nonzero(is_q)[0]
-            np_probe = min(nprobe, sim.shape[1])
-            probes = np.argpartition(-sim[q_sel], np_probe - 1, axis=1)[:, :np_probe]
-            emb_q = t.column("embedding").combine_chunks().take(pa.array(np.repeat(q_sel, np_probe)))
-            tables.append(
-                pa.table(
-                    {"vec_id": pa.array(np.repeat(ids[q_sel], np_probe), pa.int64()),
-                     "bucket": pa.array(cids[probes.ravel()], pa.int64()),
-                     "is_query": pa.array(np.ones(len(q_sel) * np_probe, bool)),
-                     "embedding": emb_q}
+    class IvfBucketize:
+        """Centroid matrix fetched ONCE per actor (r2 rebuilt it per
+        batch — the round's flagged anti-pattern)."""
+
+        def __init__(self) -> None:
+            self.cmat = ray.get(cent_ref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            if t.num_rows == 0 or len(self.cmat) == 0:
+                return pa.table(
+                    {"vec_id": pa.array([], pa.int64()),
+                     "bucket": pa.array([], pa.int64()),
+                     "is_query": pa.array([], pa.bool_()),
+                     "embedding": pa.array([], pa.list_(pa.float64()))}
                 )
+            ids, mat = _matrix(t)
+            sim = mat @ self.cmat.T  # |v| > 0 scales rows uniformly: argmax/top-nprobe unchanged
+            own = np.argmax(sim, axis=1)
+            base = pa.table(
+                {"vec_id": pa.array(ids, pa.int64()),
+                 "bucket": pa.array(own, pa.int64()),
+                 "is_query": pa.array(np.zeros(len(ids), bool)),
+                 "embedding": t.column("embedding")}
             )
-        return pa.concat_tables(tables)
+            tables = [base]
+            is_q = ids % query_every == 0
+            if is_q.any():
+                q_sel = np.nonzero(is_q)[0]
+                np_probe = min(nprobe, sim.shape[1])
+                # stable sort: ties → lower cluster id, matching the oracle
+                probes = np.argsort(-sim[q_sel], axis=1, kind="stable")[:, :np_probe]
+                emb_q = t.column("embedding").combine_chunks().take(
+                    pa.array(np.repeat(q_sel, np_probe))
+                )
+                tables.append(
+                    pa.table(
+                        {"vec_id": pa.array(np.repeat(ids[q_sel], np_probe), pa.int64()),
+                         "bucket": pa.array(probes.ravel(), pa.int64()),
+                         "is_query": pa.array(np.ones(len(q_sel) * np_probe, bool)),
+                         "embedding": emb_q}
+                    )
+                )
+            return pa.concat_tables(tables)
 
-    bucketed = embeddings.map_batches(bucketize, batch_format="pyarrow", zero_copy_batch=True)
+    bucketed = embeddings.map_batches(
+        IvfBucketize, batch_format="pyarrow", zero_copy_batch=True, concurrency=(1, 8)
+    )
     return _bucketed_topk(bucketed, k, num_parts)

@@ -37,9 +37,21 @@ def token_stats_batch(t: pa.Table) -> pa.Table:
     n_chars = pc.utf8_length(text).cast(pa.int64())
     n_spaces = pc.count_substring(text, " ").cast(pa.int64())
     n_tokens = pc.add(n_spaces, 1)
-    uniq = pa.array(
-        [len(set(s.split(" "))) for s in text.to_pylist()], pa.int64()
-    )
+    # unique tokens per row, vectorized: split → flatten → global
+    # dictionary-encode → count distinct (row, code) runs (one lexsort,
+    # no per-row Python sets; equals len(set(s.split(" "))))
+    split = pc.split_pattern(text, " ")
+    lens = np.asarray(split.value_lengths(), dtype=np.int64)
+    if lens.sum():
+        codes = np.asarray(split.flatten().dictionary_encode().indices, dtype=np.int64)
+        row = np.repeat(np.arange(len(lens), dtype=np.int64), lens)
+        order = np.lexsort((codes, row))
+        r, c = row[order], codes[order]
+        first = np.ones(len(r), dtype=bool)
+        first[1:] = (r[1:] != r[:-1]) | (c[1:] != c[:-1])
+        uniq = pa.array(np.bincount(r[first], minlength=len(lens)), pa.int64())
+    else:
+        uniq = pa.array(np.zeros(len(lens), np.int64), pa.int64())
     return pa.table(
         {
             "doc_id": t.column("doc_id"),

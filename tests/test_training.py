@@ -178,6 +178,42 @@ def test_jaccard_plans_agree():
     assert small == pp
 
 
+def test_ann_ivf_matches_sql_oracle_at_gate_scale():
+    # The IVF oracle re-derives the sample-trained centroids via the
+    # shared _lloyd_spherical and inlines them as SQL literals
+    # (training.py); pin the engine/oracle equivalence at sf0.01.
+    import duckdb
+
+    from osm2geojson_ray.pipelines.training import (
+        ANN_IVF_ITERS,
+        ANN_IVF_NPROBE,
+        training_oracles,
+    )
+
+    sf = "/root/testdata/sf0.01"
+    emb = rd.read_parquet(f"{sf}/embeddings.parquet", columns=["vec_id", "embedding"])
+    got = (
+        S.ann_ivf(emb, query_every=50, k=5, nprobe=ANN_IVF_NPROBE,
+                  n_iters=ANN_IVF_ITERS, num_parts=4)
+        .to_pandas()
+        .sort_values(["query_id", "rnk"])
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW embeddings AS SELECT * FROM read_parquet('{sf}/embeddings.parquet')"
+    )
+    want = (
+        con.execute(training_oracles("unused")["ann_ivf"])
+        .df()
+        .sort_values(["query_id", "rnk"])
+        .reset_index(drop=True)
+    )
+    assert got[["query_id", "neighbor_id", "rnk"]].equals(
+        want[["query_id", "neighbor_id", "rnk"]]
+    )
+
+
 def test_ann_ivf_recall_vs_bruteforce():
     emb = rd.read_parquet(f"{SF}/embeddings.parquet", columns=["vec_id", "embedding"])
     brute = S.ann_bruteforce(emb, query_every=50, k=5, num_parts=4).take_all()
