@@ -19,7 +19,9 @@ whole file's bytes into one task — a real planet file would not fit):
 
 Elements larger than ``overlap`` (plain) / unterminated at EOF
 (streaming) are dropped — the reference's LineIterable likewise stops at
-a truncated element (OsmBlobIterable.java:44-114).
+a truncated element (OsmBlobIterable.java:44-114) — and COUNTED via a
+runtime warning (``_warn_truncated``) so truncation on a pathological
+file is visible, mirroring the reference's problem-file reporting.
 """
 
 from __future__ import annotations
@@ -44,6 +46,23 @@ _BLOB_RE_B = re.compile(
     rb"<(node|way|relation)\b[^>]*?(?:/>|>.*?</\1>)",
     re.DOTALL,
 )
+# element start tags — used only to DETECT drops: node/way/relation never
+# nest in OSM XML, so every start tag should begin exactly one carved blob
+_START_RE_B = re.compile(rb"<(?:node|way|relation)\b")
+
+_log = __import__("logging").getLogger(__name__)
+
+
+def _warn_truncated(n: int, where: str) -> None:
+    """Loud runtime counter for elements the reader had to drop (element
+    larger than the overlap window, or unterminated at EOF) — mirrors the
+    reference's problem-file reporting instead of silent loss."""
+    _log.warning(
+        "osm_xml: dropped %d truncated element(s) at %s — "
+        "raise `overlap` (plain) or check for a cut-off file (streaming)",
+        n,
+        where,
+    )
 
 
 def _elements_table(doc_id: str, span_idx: int, blobs: list[str]) -> pa.Table:
@@ -79,6 +98,13 @@ def _range_read(path: str, start: int, end: int, overlap: int, span_idx: int):
         for m in _BLOB_RE_B.finditer(data)
         if m.start() < limit
     ]
+    # drop detection: every start tag in [0, limit) should have carved a
+    # blob (node/way/relation never nest); a surplus start tag is an
+    # element bigger than the overlap window that the next task cannot
+    # recover either — count it loudly instead of losing it silently
+    n_starts = sum(1 for sm in _START_RE_B.finditer(data) if sm.start() < limit)
+    if n_starts > len(blobs):
+        _warn_truncated(n_starts - len(blobs), f"{path}[{start}:{end}]")
     yield _elements_table(os.path.basename(path), span_idx, blobs)
 
 
@@ -106,7 +132,11 @@ def _stream_read(path: str, compression: str, stream_chunk: int):
             buf = buf[last_end:]
     # trailing complete elements with no further input (e.g. final chunk
     # ended exactly at an element close) were already emitted above; an
-    # unterminated tail is dropped like the reference's truncated element
+    # unterminated tail is dropped like the reference's truncated element —
+    # but counted loudly, not silently
+    n_tail = sum(1 for _ in _START_RE_B.finditer(buf))
+    if n_tail:
+        _warn_truncated(n_tail, f"{path} (EOF tail)")
 
 
 class OsmXmlDatasource(Datasource):

@@ -249,14 +249,21 @@ def rejects_batch(batch: pa.Table) -> pa.Table:
     reason[~known] = "unexpected-blob-type"  # OsmJoin.java:125-127
     reason[known & ~has_id] = "no-id"
     reason[node_m & has_id & ~(has_lat & has_lon)] = "no-coordinates"
-    # blobs whose parse kernel THROWS (OsmJoin.java:130-133): one probe
-    # run per kernel (costs one parse pass of the batch; bisection only
-    # on actual poison)
-    poison = (
-        poison_mask(batch, parse_nodes_batch)
-        | poison_mask(batch, parse_ways_batch)
-        | poison_mask(batch, parse_relations_batch)
-    )
+    # blobs whose parse kernel THROWS (OsmJoin.java:130-133): each kernel
+    # is probed only on its kind-filtered subset (kernels filter by kind
+    # internally, so this is equivalent) — ONE total parse pass over the
+    # batch on the clean path, not three (ADVICE r2); bisection only on
+    # actual poison
+    poison = np.zeros(n, dtype=bool)
+    for mask, kern in (
+        (node_m, parse_nodes_batch),
+        (way_m, parse_ways_batch),
+        (rel_m, parse_relations_batch),
+    ):
+        idx = np.nonzero(mask)[0]
+        if len(idx):
+            pm = poison_mask(batch.take(pa.array(idx)), kern)
+            poison[idx[pm]] = True
     reason[poison & known] = "parse-exception"
     sel = (
         (~known)

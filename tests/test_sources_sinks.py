@@ -152,3 +152,30 @@ def test_read_osm_xml_streaming_bounded(tmp_path):
         rows = read_osm_xml(str(p), stream_chunk=2048).take_all()
         assert sorted(r["xml"] for r in rows) == expected
         assert len({r["span_idx"] for r in rows}) > 1  # streamed in blocks
+
+
+def test_range_read_warns_on_oversized_element(tmp_path, caplog):
+    """An element larger than the overlap window cannot be carved by any
+    task; the reader must COUNT the drop loudly (ADVICE r2), not lose it
+    silently."""
+    import logging
+
+    from osm2geojson_ray.sources.osm_xml import _range_read
+
+    big = '<node id="1" lat="0" lon="0">' + "<tag/>" * 200 + "</node>"
+    small = '<node id="2" lat="1" lon="1"/>'
+    text = big + "\n" + small + "\n"
+    p = tmp_path / "trunc.osm"
+    p.write_text(text)
+    # range covers the big element's start but overlap is too small for
+    # its body to complete inside the task buffer
+    with caplog.at_level(logging.WARNING, logger="osm2geojson_ray.sources.osm_xml"):
+        (tbl,) = list(_range_read(str(p), 0, 40, 32, 0))
+    assert tbl.num_rows == 0
+    assert any("truncated element" in r.message for r in caplog.records)
+    # a sufficient overlap carves it and stays quiet
+    caplog.clear()
+    with caplog.at_level(logging.WARNING, logger="osm2geojson_ray.sources.osm_xml"):
+        (tbl2,) = list(_range_read(str(p), 0, 40, 1 << 16, 0))
+    assert tbl2.num_rows == 1
+    assert not caplog.records

@@ -19,6 +19,23 @@ import json
 import sys
 
 
+def parse_salt(v: str):
+    """'auto' | 'none' | non-negative int — anything else is an error
+    (a typo like '16x' or a negative salt must not silently become 'auto')."""
+    s = v.lower()
+    if s == "auto":
+        return "auto"
+    if s == "none":
+        return None
+    try:
+        n = int(s)
+    except ValueError:
+        raise argparse.ArgumentTypeError(f"--salt must be 'auto', 'none' or a non-negative int, got {v!r}")
+    if n < 0:
+        raise argparse.ArgumentTypeError(f"--salt must be non-negative, got {v!r}")
+    return n
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--input", required=True, help="documents table (parquet/lance dir)")
@@ -26,8 +43,8 @@ def main() -> int:
     ap.add_argument("--out", default=None, help="GeoJSON output directory")
     ap.add_argument("--num-parts", type=int, default=64)
     ap.add_argument(
-        "--salt", default="auto",
-        help="mega-key salt: int, 'auto' (corpus-triggered, default), or 'none'",
+        "--salt", type=parse_salt, default="auto",
+        help="mega-key salt: non-negative int, 'auto' (corpus-triggered, default), or 'none'",
     )
     ap.add_argument("--tile-res", type=int, default=15)
     ap.add_argument("--sort-output", action="store_true")
@@ -46,11 +63,8 @@ def main() -> int:
     from osm2geojson_ray.stages.tiling import vertex_cells
     from osm2geojson_ray.state.checkpoints import run_checkpointed_flagship
 
-    salt = args.salt
-    if isinstance(salt, str):
-        salt = None if salt.lower() == "none" else (int(salt) if salt.isdigit() else "auto")
     out = run_checkpointed_flagship(
-        args.input, args.workdir, num_parts=args.num_parts, salt=salt
+        args.input, args.workdir, num_parts=args.num_parts, salt=args.salt
     )
     cp = out["pipeline"]
     features = out["features"]
