@@ -74,19 +74,56 @@ def split_sides(t: pa.Table) -> tuple[pa.Table, pa.Table]:
     return lt, rt
 
 
-def _check_unique(uk_sorted: np.ndarray, key: str) -> None:
-    """The 'unique' join side must really be unique per key: searchsorted
-    alignment would otherwise silently match one arbitrary copy (the
-    reference merge-join iterates all same-key entries —
-    EntryJoiningIterable.java).  Duplicate element ids (same node/way/rel
-    in two shards) are a corpus defect; fail loudly and deterministically
-    instead of emitting run-dependent output."""
-    if len(uk_sorted) > 1 and (uk_sorted[1:] == uk_sorted[:-1]).any():
-        dup = uk_sorted[:-1][uk_sorted[1:] == uk_sorted[:-1]][0]
+def _unique_order(
+    ut: pa.Table, uk: np.ndarray, key: str, on_duplicate: str = "error"
+) -> tuple[np.ndarray, np.ndarray]:
+    """Sorted order + keys for the 'unique' join side, which must really
+    be unique per key: searchsorted alignment would otherwise silently
+    match one arbitrary copy (the reference merge-join iterates all
+    same-key entries — EntryJoiningIterable.java).  Duplicate element ids
+    (same node/way/rel in two shards) are a corpus defect; the two
+    documented routes (ADVICE r2 #2):
+
+    * ``on_duplicate='error'`` (default): fail loudly and
+      deterministically instead of emitting run-dependent output.
+    * ``on_duplicate='first'``: keep ONE deterministic winner per key —
+      the copy with the smallest content digest (md5 of the row's sorted
+      items), which is independent of shard/block arrival order — and
+      drop the rest from the join.  Pair with
+      ``stages.parse.duplicate_id_rejects`` to surface the losers in the
+      rejects table.
+    """
+    order = np.argsort(uk, kind="stable")
+    uk_sorted = uk[order]
+    if len(uk_sorted) <= 1:
+        return order, uk_sorted
+    eq = uk_sorted[1:] == uk_sorted[:-1]
+    if not eq.any():
+        return order, uk_sorted
+    if on_duplicate == "error":
+        dup = uk_sorted[:-1][eq][0]
         raise ValueError(
             f"duplicate key on unique join side ({key}={dup!r}); "
-            "dedup the input (e.g. functions.grouping.distinct) first"
+            "dedup the input (e.g. functions.grouping.distinct) first, "
+            "or pass on_duplicate='first' to keep a deterministic winner"
         )
+    if on_duplicate != "first":
+        raise ValueError(f"on_duplicate must be 'error' or 'first', got {on_duplicate!r}")
+    import hashlib
+
+    dup_mask = np.zeros(len(uk_sorted), dtype=bool)
+    dup_mask[1:] |= eq
+    dup_mask[:-1] |= eq
+    dig = np.full(len(uk_sorted), "", dtype=object)
+    dpos = np.nonzero(dup_mask)[0]
+    # digest only the duplicated rows (rare corpus defect — not a hot path)
+    for p, row in zip(dpos, ut.take(pa.array(order[dpos])).to_pylist()):
+        dig[p] = hashlib.md5(repr(sorted(row.items())).encode()).hexdigest()
+    res = np.lexsort((dig, uk_sorted))
+    uk2 = uk_sorted[res]
+    first = np.ones(len(uk2), dtype=bool)
+    first[1:] = uk2[1:] != uk2[:-1]
+    return order[res][first], uk2[first]
 
 
 def join_unique_np(
@@ -95,14 +132,13 @@ def join_unique_np(
     key: str,
     m_cols: list[str],
     u_cols: list[str],
+    on_duplicate: str = "error",
 ) -> pa.Table:
     """In-partition vectorized inner join, right side unique on key —
     sorted searchsorted alignment (numpy + take: supports nested types)."""
     mk = np.asarray(mt.column(key)) if mt.num_rows else np.empty(0, np.int64)
     uk = np.asarray(ut.column(key)) if ut.num_rows else np.empty(0, np.int64)
-    order = np.argsort(uk, kind="stable")
-    uk_sorted = uk[order]
-    _check_unique(uk_sorted, key)
+    order, uk_sorted = _unique_order(ut, uk, key, on_duplicate)
     ri = np.searchsorted(uk_sorted, mk)
     ri_clamped = np.minimum(ri, max(len(uk_sorted) - 1, 0))
     if len(uk_sorted) == 0:
@@ -166,12 +202,15 @@ def join_on_unique(
     unique_schema: pa.Schema,
     how: str = "inner",
     num_parts: int = 64,
+    on_duplicate: str = "error",
 ) -> ray.data.Dataset:
     """Join ``many`` with ``unique`` (unique per ``key``) on ``key``.
 
     ``how='inner'`` drops many-rows without a match (reference inner-join
     semantics); ``how='left'`` keeps them with nulls.  Schemas must be
     passed explicitly (lazy datasets; avoids a blocking schema() call).
+    ``on_duplicate``: see ``_unique_order`` ('error' fails loudly on a
+    duplicated unique-side key; 'first' keeps a deterministic winner).
     """
     full = _union_schema(many_schema, unique_schema, key)
     many_names = [f.name for f in many_schema if f.name != key]
@@ -195,9 +234,7 @@ def join_on_unique(
         ut = t.filter(pa.array(side == 1)).combine_chunks()
         mk = np.asarray(mt.column(key))
         uk = np.asarray(ut.column(key))
-        order = np.argsort(uk, kind="stable")
-        uk_sorted = uk[order]
-        _check_unique(uk_sorted, key)
+        order, uk_sorted = _unique_order(ut, uk, key, on_duplicate)
         ri = np.searchsorted(uk_sorted, mk)
         ri_clamped = np.minimum(ri, max(len(uk_sorted) - 1, 0))
         if len(uk_sorted) == 0:

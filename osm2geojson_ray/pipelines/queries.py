@@ -389,6 +389,10 @@ def q_pip(sf_dir: str) -> ray.data.Dataset:
     return assign_points_to_polygons(points, polys, res=TILE_RES, num_partitions=8)
 
 
+def q_rejects_dup_ids(sf_dir: str) -> ray.data.Dataset:
+    return P.duplicate_id_rejects(_core(sf_dir, "elements"), num_parts=8)
+
+
 def q_rejects(sf_dir: str) -> ray.data.Dataset:
     return _core(sf_dir, "rejects").map_batches(
         lambda t: pa.table(
@@ -762,6 +766,33 @@ WHERE CASE WHEN regexp_extract(xml, {id_re}, 1) = '' THEN 'no-id'
       END IS NOT NULL
 """
 
+    # duplicate-id losers: everything but the deterministic winner per
+    # (kind, id) — winner = smallest (md5(xml), doc_id, span_idx), the
+    # same rule the engine's joins use for on_duplicate='first'
+    sql["rejects_dup_ids"] = f"""
+WITH {B},
+typed AS (
+  SELECT doc_id, span_idx,
+         CASE WHEN xml LIKE '<node%' THEN 'node'
+              WHEN xml LIKE '<way%' THEN 'way'
+              ELSE 'relation' END AS kind,
+         CAST(regexp_extract(xml, {id_re}, 1) AS BIGINT) AS elem_id,
+         xml
+  FROM blobs WHERE regexp_extract(xml, {id_re}, 1) <> ''
+),
+ranked AS (
+  SELECT doc_id, span_idx, kind, elem_id,
+         count(*) OVER (PARTITION BY kind, elem_id) AS cnt,
+         row_number() OVER (
+           PARTITION BY kind, elem_id ORDER BY md5(xml), doc_id, span_idx
+         ) AS rn
+  FROM typed
+)
+SELECT doc_id, CAST(span_idx AS BIGINT) AS span_idx, kind, elem_id,
+       'duplicate-id' AS reason
+FROM ranked WHERE cnt > 1 AND rn > 1
+"""
+
     rel_name = _tagv("name")  # relation tag values are raw (no unescape)
     rel_cats = _cats_expr(_tagv)
     # shared multipolygon-relation gating + member-way edge CTEs.
@@ -934,4 +965,7 @@ OSM_QUERIES = {
     "relation_features": q_relation_features,
     "pip_assign": q_pip,
     "rejects": q_rejects,
+    # r3: duplicate-id losers (deterministic winner rule shared with
+    # joins.on_duplicate='first')
+    "rejects_dup_ids": q_rejects_dup_ids,
 }

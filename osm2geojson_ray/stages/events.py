@@ -61,15 +61,42 @@ def sessionize(
     return partition_map(events, ["user_id"], num_parts, sess)
 
 
-def lineitem_pricing_summary(lineitem: ray.data.Dataset) -> ray.data.Dataset:
+def lineitem_pricing_summary(lineitem: ray.data.Dataset, num_parts: int = 1) -> ray.data.Dataset:
     """TPC-H Q1-style grouped aggregate over lineitem (exact integer-valued
-    sums only, so the oracle compare is bit-stable)."""
-    from ray.data.aggregate import Count, Sum
+    sums only, so the oracle compare is bit-stable).
 
-    return (
-        lineitem.groupby(["l_returnflag", "l_linestatus"])
-        .aggregate(
-            Sum("l_quantity", alias_name="sum_qty"),
-            Count(alias_name="n"),
+    Combiner inside map_batches (pyarrow group_by per batch) + ONE hash
+    exchange — the same shape as windowed_agg.  Replaces the r2 Ray-native
+    ``groupby().aggregate()`` whose internal blocks carried inconsistent
+    schemas and spammed 'Failed to hash the schemas' / RefBundle warnings
+    into every bench tail (VERDICT r2 #7); every block here has the fixed
+    (l_returnflag, l_linestatus, sum_qty, n) schema.  ``count`` is over
+    l_quantity, which is non-null in lineitem, so it equals count(*).
+
+    ``num_parts=1``: Q1 has exactly 6 groups (3 returnflags × 2
+    linestatuses) at EVERY scale, and the combiner reduces each input
+    block to ≤6 rows — a single reducer sees ~6·n_blocks tiny rows even
+    at 100 TB, and empty hash partitions (which Ray emits as
+    empty-schema blocks, re-triggering the warning) can't occur."""
+    keys = ["l_returnflag", "l_linestatus"]
+
+    def _shape(g: pa.Table, sum_col: str, n_col: str) -> pa.Table:
+        return pa.table(
+            {
+                "l_returnflag": g.column("l_returnflag"),
+                "l_linestatus": g.column("l_linestatus"),
+                "sum_qty": g.column(sum_col).combine_chunks().cast(pa.float64()),
+                "n": g.column(n_col).combine_chunks().cast(pa.int64()),
+            }
         )
-    )
+
+    def local(t: pa.Table) -> pa.Table:
+        g = t.group_by(keys).aggregate([("l_quantity", "sum"), ("l_quantity", "count")])
+        return _shape(g, "l_quantity_sum", "l_quantity_count")
+
+    def merge(t: pa.Table) -> pa.Table:
+        g = t.group_by(keys).aggregate([("sum_qty", "sum"), ("n", "sum")])
+        return _shape(g, "sum_qty_sum", "n_sum")
+
+    pre = lineitem.map_batches(local, batch_format="pyarrow", zero_copy_batch=True)
+    return partition_map(pre, keys, num_parts, merge)

@@ -285,6 +285,98 @@ def rejects_batch(batch: pa.Table) -> pa.Table:
     )
 
 
+def duplicate_id_rejects(elements: ray.data.Dataset, num_parts: int = 64) -> ray.data.Dataset:
+    """Duplicate element ids — the same (kind, id) carved from two input
+    shards — surfaced as reject rows: every copy EXCEPT the deterministic
+    winner becomes (doc_id, span_idx, kind, elem_id, reason='duplicate-id').
+
+    Winner rule (shared with ``functions.joins`` ``on_duplicate='first'``):
+    smallest (md5(xml), doc_id, span_idx) — independent of shard/block
+    arrival order.  Hash-partitioned on (kind, elem_id) so only same-key
+    copies co-locate; digesting happens only inside duplicated groups.
+    Complements ``_unique_order``'s keep-first mode: the join keeps the
+    winner, this stage reports the losers (OsmJoin problem-file spirit,
+    OsmJoin.java:111-113)."""
+    from ..functions.grouping import partition_map
+
+    def prep(batch: pa.Table) -> pa.Table:
+        xml = batch.column("xml").combine_chunks()
+        node_m = np.asarray(pc.starts_with(xml, "<node"))
+        way_m = np.asarray(pc.starts_with(xml, "<way"))
+        rel_m = np.asarray(pc.starts_with(xml, "<relation"))
+        ids = extract_first(xml, ID_RE2)
+        known = node_m | way_m | rel_m
+        valid = known & np.asarray(ids.is_valid())
+        kind = np.full(len(xml), "", dtype=object)
+        kind[node_m] = "node"
+        kind[way_m] = "way"
+        kind[rel_m] = "relation"
+        sel = pa.array(valid)
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id").filter(sel),
+                "span_idx": batch.column("span_idx").filter(sel),
+                "kind": pa.array(kind[valid], pa.string()),
+                "elem_id": ids.filter(sel).cast(pa.int64()),
+                "xml": xml.filter(sel),
+            }
+        )
+
+    prepped = elements.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True)
+
+    def losers(t: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "doc_id": pa.array([], pa.string()),
+                "span_idx": pa.array([], pa.int64()),
+                "kind": pa.array([], pa.string()),
+                "elem_id": pa.array([], pa.int64()),
+                "reason": pa.array([], pa.string()),
+            }
+        )
+        if t.num_rows == 0:
+            return empty
+        import hashlib
+
+        kind = np.asarray(t.column("kind").to_pandas(), dtype=object)
+        eid = np.asarray(t.column("elem_id"))
+        order = np.lexsort((eid, kind))
+        k2, e2 = kind[order], eid[order]
+        same = (k2[1:] == k2[:-1]) & (e2[1:] == e2[:-1])
+        if not same.any():
+            return empty
+        dup = np.zeros(len(order), dtype=bool)
+        dup[1:] |= same
+        dup[:-1] |= same
+        dpos = np.nonzero(dup)[0]
+        rows_idx = order[dpos]
+        sub = t.take(pa.array(rows_idx))
+        digs = np.asarray(
+            [hashlib.md5(x.encode()).hexdigest() for x in sub.column("xml").to_pylist()],
+            dtype=object,
+        )
+        docs = np.asarray(sub.column("doc_id").to_pandas(), dtype=object)
+        spans = np.asarray(sub.column("span_idx"))
+        kk, ee = k2[dpos], e2[dpos]
+        o2 = np.lexsort((spans, docs, digs, ee, kk))
+        kk2, ee2 = kk[o2], ee[o2]
+        first = np.ones(len(o2), dtype=bool)
+        first[1:] = (kk2[1:] != kk2[:-1]) | (ee2[1:] != ee2[:-1])
+        out = t.take(pa.array(rows_idx[o2][~first]))
+        n = out.num_rows
+        return pa.table(
+            {
+                "doc_id": out.column("doc_id"),
+                "span_idx": out.column("span_idx").combine_chunks().cast(pa.int64()),
+                "kind": out.column("kind"),
+                "elem_id": out.column("elem_id"),
+                "reason": pa.array(["duplicate-id"] * n, pa.string()),
+            }
+        )
+
+    return partition_map(prepped, ["kind", "elem_id"], num_parts, losers)
+
+
 # ---------------------------------------------------------------------------
 # edge-table derivation (the nodeid2wayid / nodeid2relid / wayid2relid
 # multimaps, OsmJoin.java:204-208,239-244) — vectorized explodes, no re-parse

@@ -175,6 +175,61 @@ def test_join_on_unique_rejects_duplicate_keys(ray_session):
         out.take_all()
 
 
+def test_join_on_unique_keep_first_deterministic(ray_session):
+    # VERDICT r2 #8: the documented alternative to fail-fast — route
+    # duplicates out and keep a DETERMINISTIC winner (min content digest),
+    # independent of shard order.  Two-shard duplicate-id fixture, both
+    # shard orders must give identical output.
+    import pyarrow as pa
+    import ray.data as rd
+
+    from osm2geojson_ray.functions.joins import join_on_unique
+
+    many = pa.table({"k": [1, 2, 3], "a": ["x", "y", "z"]})
+    shard_a = pa.table({"k": [1, 2], "b": ["p", "r"]})
+    shard_b = pa.table({"k": [1, 3], "b": ["q", "s"]})  # k=1 duplicated across shards
+    results = []
+    for shards in ((shard_a, shard_b), (shard_b, shard_a)):
+        uniq = rd.from_arrow(shards[0]).union(rd.from_arrow(shards[1]))
+        out = join_on_unique(
+            rd.from_arrow(many), uniq, "k",
+            pa.schema([("k", pa.int64()), ("a", pa.string())]),
+            pa.schema([("k", pa.int64()), ("b", pa.string())]),
+            num_parts=2, on_duplicate="first",
+        )
+        results.append(sorted((r["k"], r["a"], r["b"]) for r in out.take_all()))
+    assert results[0] == results[1]
+    assert [r[0] for r in results[0]] == [1, 2, 3]  # one winner for k=1, no drops
+
+
+def test_duplicate_id_rejects_two_shard_fixture(ray_session):
+    # the losers surface in the rejects op with the SAME winner rule
+    import hashlib
+
+    import pyarrow as pa
+    import ray.data as rd
+
+    from osm2geojson_ray.schema import ELEMENTS
+    from osm2geojson_ray.stages.parse import duplicate_id_rejects
+
+    x1 = '<node id="7" lat="1" lon="1"><tag k="name" v="a"/></node>'
+    x2 = '<node id="7" lat="2" lon="2"><tag k="name" v="b"/></node>'
+    x3 = '<way id="7"><nd ref="1"/></way>'  # same id, different kind: NOT a dup
+    shard_a = pa.Table.from_pylist(
+        [{"doc_id": "s1", "span_idx": 0, "elem_idx": 0, "xml": x1},
+         {"doc_id": "s1", "span_idx": 0, "elem_idx": 1, "xml": x3}], schema=ELEMENTS)
+    shard_b = pa.Table.from_pylist(
+        [{"doc_id": "s2", "span_idx": 0, "elem_idx": 0, "xml": x2}], schema=ELEMENTS)
+    winner_doc = "s1" if hashlib.md5(x1.encode()).hexdigest() < hashlib.md5(x2.encode()).hexdigest() else "s2"
+    loser_doc = "s2" if winner_doc == "s1" else "s1"
+    for shards in ((shard_a, shard_b), (shard_b, shard_a)):
+        els = rd.from_arrow(shards[0]).union(rd.from_arrow(shards[1]))
+        rows = duplicate_id_rejects(els, num_parts=2).take_all()
+        assert [(r["doc_id"], r["kind"], r["elem_id"], r["reason"]) for r in rows] == [
+            (loser_doc, "node", 7, "duplicate-id")
+        ]
+
+
 def test_auto_salt_triggers_on_mega_relation(ray_session):
     import pyarrow as pa
     import ray.data as rd
