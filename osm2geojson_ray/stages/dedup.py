@@ -301,18 +301,40 @@ def embedding_dup_pairs(
     threshold: float = 0.95,
     num_parts: int = 16,
     n_blocks: int = 4,
+    mode: str = "exact",
+    seed: int = 42,
+    target_recall: float = 0.9999,
 ) -> ray.data.Dataset:
-    """Embedding-cosine near-dup pairs within each ``label`` —
-    BLOCK-TILED exact all-pairs (replaces the r1 whole-label matmul):
-    vectors hash into ``n_blocks`` blocks per label; every unordered
-    block pair (bi <= bj) is one partition whose kernel computes a
-    bounded cross matmul.  Total flops stay O(n²) per label — inherent
-    to the exact operator — but per-task memory and work are bounded by
-    the block size, so no kernel is quadratic in its partition's size.
-    At scale set ``n_blocks ≈ n_label / 4096``; replication factor is
-    ``n_blocks`` on the vector table.  (LSH blocking is NOT used here:
-    at moderate thresholds hyperplane-LSH either misses pairs or
-    degenerates to all-pairs; exactness is the operator's contract.)"""
+    """Embedding-cosine near-dup pairs within each ``label``.
+
+    ``mode='exact'`` (default — the operator's contract, and what the
+    DuckDB oracle checks): BLOCK-TILED exact all-pairs (replaces the r1
+    whole-label matmul): vectors hash into ``n_blocks`` blocks per
+    label; every unordered block pair (bi <= bj) is one partition whose
+    kernel computes a bounded cross matmul.  Total flops stay O(n²) per
+    label — inherent to exactness — but per-task memory and work are
+    bounded by the block size.  At scale set
+    ``n_blocks ≈ n_label / 4096``; replication factor is ``n_blocks``.
+
+    ``mode='lsh'`` (VERDICT r2 #4 — the scale path for the flop bill):
+    ANN-gated candidate generation + exact verify.  L independent
+    hyperplane tables of b bits each bucket the vectors; candidate pairs
+    come only from shared (label, table, code) buckets, each verified
+    with the exact cosine kernel, then globally deduped.  Precision is
+    exact (the verify step); recall is 1-(1-p^b)^L with
+    p = 1 - arccos(threshold)/π, and (b, L) are auto-sized: b bounds
+    buckets at ~8k vectors (b = log2(n/8k)), L hits ``target_recall``.
+    Flops per label ≈ L·n·8k — LINEAR in n at fixed duplicate density,
+    vs the exact mode's n²; replication factor is L.  A probabilistic
+    recall<1 is the disclosed trade (tests pin lsh==exact at the gate
+    scale, where the seeded tables are deterministic).
+    """
+    if mode == "lsh":
+        return _embedding_dup_pairs_lsh(
+            embeddings, threshold, num_parts, seed, target_recall
+        )
+    if mode != "exact":
+        raise ValueError(f"mode must be 'exact' or 'lsh', got {mode!r}")
 
     def replicate(t: pa.Table) -> pa.Table:
         ids = np.asarray(t.column("vec_id"))
@@ -387,3 +409,101 @@ def embedding_dup_pairs(
         return pa.table({"vec_a": pa.array(a, pa.int64()), "vec_b": pa.array(b, pa.int64())})
 
     return partition_map(rep, ["label", "bi", "bj"], num_parts, pairs)
+
+
+def _lsh_params(n: int, threshold: float, target_recall: float) -> tuple[int, int]:
+    """(bits_per_table, n_tables): b bounds buckets at ~8k vectors under a
+    uniform spread; L = ceil(log(1-recall)/log(1-p^b)) hits the recall
+    target for pairs AT the threshold (closer pairs collide more often)."""
+    p = 1.0 - np.arccos(np.clip(threshold, -1.0, 1.0)) / np.pi
+    b = int(np.clip(round(np.log2(max(n / 8192.0, 2.0))), 1, 20))
+    pb = max(p**b, 1e-12)
+    L = int(np.ceil(np.log(max(1.0 - target_recall, 1e-12)) / np.log(max(1.0 - pb, 1e-12))))
+    return b, int(np.clip(L, 1, 64))
+
+
+def _embedding_dup_pairs_lsh(
+    embeddings: ray.data.Dataset,
+    threshold: float,
+    num_parts: int,
+    seed: int,
+    target_recall: float,
+) -> ray.data.Dataset:
+    n = embeddings.count()
+
+    def dim_of() -> int:
+        return len(embeddings.take(1)[0]["embedding"])
+
+    b, L = _lsh_params(n, threshold, target_recall)
+    d = dim_of()
+    planes = np.random.RandomState(seed).normal(size=(L, b, d))
+
+    def bucketize(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {"label": pa.array([], pa.int32()),
+                 "table_id": pa.array([], pa.int32()),
+                 "code": pa.array([], pa.int64()),
+                 "vec_id": pa.array([], pa.int64()),
+                 "embedding": pa.array([], pa.list_(pa.float64()))}
+            )
+        mat = _emb64(t.column("embedding"))
+        tables = []
+        for li in range(L):
+            signs = (mat @ planes[li].T) > 0
+            code = np.zeros(t.num_rows, dtype=np.int64)
+            for bi in range(b):
+                code |= signs[:, bi].astype(np.int64) << bi
+            tables.append(
+                pa.table(
+                    {"label": t.column("label"),
+                     "table_id": pa.array(np.full(t.num_rows, li, np.int32)),
+                     "code": pa.array(code, pa.int64()),
+                     "vec_id": t.column("vec_id"),
+                     "embedding": t.column("embedding")}
+                )
+            )
+        return pa.concat_tables(tables)
+
+    rep = embeddings.map_batches(bucketize, batch_format="pyarrow", zero_copy_batch=True)
+
+    def verify(t: pa.Table) -> pa.Table:
+        # per (label, table, code) bucket: exact cosine all-pairs inside
+        # the bucket only (bounded by the ~8k bucket-size target)
+        empty = pa.table({"vec_a": pa.array([], pa.int64()),
+                          "vec_b": pa.array([], pa.int64())})
+        if t.num_rows == 0:
+            return empty
+        lab = np.asarray(t.column("label"))
+        tid = np.asarray(t.column("table_id"))
+        code = np.asarray(t.column("code"))
+        ids = np.asarray(t.column("vec_id"))
+        mat = _emb64(t.column("embedding"))
+        norms = np.sqrt((mat * mat).sum(axis=1))
+        normed = mat / norms[:, None]
+        order = np.lexsort((code, tid, lab))
+        l2, t2, c2 = lab[order], tid[order], code[order]
+        change = (l2[1:] != l2[:-1]) | (t2[1:] != t2[:-1]) | (c2[1:] != c2[:-1])
+        bounds = np.concatenate([[0], np.nonzero(change)[0] + 1, [len(order)]])
+        out_a: list[np.ndarray] = []
+        out_b: list[np.ndarray] = []
+        for s, e in zip(bounds[:-1], bounds[1:]):
+            if e - s < 2:
+                continue
+            sel = order[s:e]
+            gn = normed[sel]
+            gids = ids[sel]
+            sim = gn @ gn.T
+            ii, jj = np.nonzero(np.triu(sim >= threshold, k=1))
+            if len(ii):
+                ai, bj = gids[ii], gids[jj]
+                out_a.append(np.minimum(ai, bj))
+                out_b.append(np.maximum(ai, bj))
+        if not out_a:
+            return empty
+        return pa.table({"vec_a": pa.array(np.concatenate(out_a), pa.int64()),
+                         "vec_b": pa.array(np.concatenate(out_b), pa.int64())})
+
+    cand = partition_map(rep, ["label", "table_id", "code"], num_parts, verify)
+    # a pair can surface from several tables: one global exact dedup
+    return distinct(cand, ["vec_a", "vec_b"], num_parts)

@@ -63,6 +63,27 @@ def test_ngram_jaccard_finds_planted_dup():
     assert sorted((r["doc_a"], r["doc_b"]) for r in out) == [(1, 2)]
 
 
+def test_embedding_dups_lsh_mode_matches_exact_at_gate_scale():
+    # VERDICT r2 #4: the ANN-gated candidate generation (L seeded
+    # hyperplane tables + exact verify) must reproduce the exact-mode
+    # pair set at the gate scale (deterministic: seeded planes).
+    from osm2geojson_ray.pipelines.training import EMB_DUP_THRESHOLD
+
+    sf = "/root/testdata/sf0.01"
+    emb = rd.read_parquet(f"{sf}/embeddings.parquet")
+    exact = sorted(
+        (r["vec_a"], r["vec_b"])
+        for r in D.embedding_dup_pairs(emb, EMB_DUP_THRESHOLD, num_parts=4).take_all()
+    )
+    lsh = sorted(
+        (r["vec_a"], r["vec_b"])
+        for r in D.embedding_dup_pairs(
+            emb, EMB_DUP_THRESHOLD, num_parts=4, mode="lsh"
+        ).take_all()
+    )
+    assert exact == lsh and len(exact) > 0
+
+
 def test_ann_lsh_recall_vs_bruteforce():
     emb = rd.read_parquet(f"{SF}/embeddings.parquet", columns=["vec_id", "embedding"])
     brute = S.ann_bruteforce(emb, query_every=50, k=5, num_parts=4).take_all()
