@@ -34,6 +34,39 @@ SCALE_DOCS = int(os.environ.get("GRAFT_SCALE_DOCS", "600000"))
 SCALE_CPUS = tuple(
     int(x) for x in os.environ.get("GRAFT_SCALE_CPUS", "2,8").split(",")
 )
+# flagship trials per bench run (VERDICT r2 #3: best-of-N, N>=3, so a
+# real regression is distinguishable from this VM's +-60% noise)
+BENCH_TRIALS = int(os.environ.get("GRAFT_BENCH_TRIALS", "3"))
+# Pinned control constant: wall seconds of control_workload() measured on
+# this box in a quiet window (2026-08-17, r3; 4 trials: 1.353/1.462/
+# 1.361/1.334).  box_load_factor = control_sec / CONTROL_REF_SEC;
+# *_normalized = raw / box_load_factor.  The control is Ray-FREE
+# (multiprocessing over fixed bytes), so it measures the box, not the
+# engine.
+CONTROL_REF_SEC = float(os.environ.get("GRAFT_CONTROL_REF_SEC", "1.35"))
+
+
+def control_workload(procs: int = 8, trials: int = 2) -> float:
+    """Fixed Ray-free control: parse a pinned 20k-doc corpus slice with a
+    multiprocessing pool (same kernels as tools/mp_scaling_control.py).
+    Run in the SAME session as the flagship trials to normalize out box
+    load; returns best-of-``trials`` wall seconds."""
+    import multiprocessing as mp
+
+    from osm2geojson_ray import synth
+    from tools.mp_scaling_control import work
+
+    path = synth.ensure_corpus(20000)
+    n, tasks = 20000, 16
+    chunks = [(path, i * n // tasks, (i + 1) * n // tasks) for i in range(tasks)]
+    best = None
+    for _ in range(trials):
+        t0 = time.perf_counter()
+        with mp.get_context("fork").Pool(procs) as p:
+            p.map(work, chunks)
+        dt = time.perf_counter() - t0
+        best = dt if best is None or dt < best else best
+    return best
 
 
 def _init_ray(num_cpus: int):
@@ -79,21 +112,41 @@ def run_flagship(num_parts: int, n_docs: int | None = None) -> dict:
     # warm the worker pool so process spawn isn't attributed to the pipeline
     rd.range(NUM_CPUS * 2).map_batches(lambda b: b).materialize()
 
-    t0 = time.perf_counter()
-    g = build(read_documents(corpus), OsmPipelineConfig(num_parts=num_parts))
-    features = g["features"].materialize()
-    n_elements = g["elements"].count()
-    tiles = vertex_cells(features, 15, num_parts=num_parts).materialize()
-    wall = time.perf_counter() - t0
+    trials: list[float] = []
+    best_stages: dict = {}
+    out: dict = {}
+    for _trial in range(max(1, BENCH_TRIALS if n_docs is None else 1)):
+        stages: dict = {}
+        t0 = time.perf_counter()
+        g = build(
+            read_documents(corpus), OsmPipelineConfig(num_parts=num_parts), stage_timings=stages
+        )
+        t1 = time.perf_counter()
+        features = g["features"].materialize()
+        stages["features"] = round(time.perf_counter() - t1, 3)
+        n_elements = g["elements"].count()
+        t2 = time.perf_counter()
+        tiles = vertex_cells(features, 15, num_parts=num_parts).materialize()
+        stages["tiles"] = round(time.perf_counter() - t2, 3)
+        wall = round(time.perf_counter() - t0, 3)
+        trials.append(wall)
+        if wall == min(trials):
+            best_stages = stages
+            out = {
+                "n_elements": n_elements,
+                "n_features": features.count(),
+                "n_tiles": tiles.count(),
+            }
+    wall = min(trials)
     return {
         "flagship_sec": wall,
+        "flagship_trials": trials,
+        "stage_sec": best_stages,
         "n_docs": stats["n_docs"],
         "n_spans": stats["n_spans"],
-        "n_elements": n_elements,
-        "n_features": features.count(),
-        "n_tiles": tiles.count(),
+        **out,
         "docs_per_sec": stats["n_docs"] / wall,
-        "elements_per_sec": n_elements / wall,
+        "elements_per_sec": out["n_elements"] / wall,
     }
 
 
@@ -101,6 +154,7 @@ def run_queries() -> dict:
     """Representative per-operator timings at the bench SF."""
     import ray.data as rd
 
+    from osm2geojson_ray.pipelines.training import _read_clean
     from osm2geojson_ray.stages import dedup as D
     from osm2geojson_ray.stages import events as EV
     from osm2geojson_ray.stages import similarity as S
@@ -115,7 +169,7 @@ def run_queries() -> dict:
         timings[name] = round(time.perf_counter() - t0, 4)
         return n
 
-    docs = lambda cols: rd.read_parquet(f"{SF_DIR}/documents.parquet", columns=cols)  # noqa: E731
+    docs = lambda cols: _read_clean(f"{SF_DIR}/documents.parquet", columns=cols)  # noqa: E731
     timed("token_stats", lambda: T.token_stats(docs(["doc_id", "text"])))
     timed("text_quality", lambda: T.quality(docs(["doc_id", "text"])))
     timed("dedup_exact", lambda: D.dedup_exact(docs(["doc_id", "text"])))
@@ -127,25 +181,25 @@ def run_queries() -> dict:
     timed(
         "ann_bruteforce",
         lambda: S.ann_bruteforce(
-            rd.read_parquet(f"{SF_DIR}/embeddings.parquet", columns=["vec_id", "embedding"])
+            _read_clean(f"{SF_DIR}/embeddings.parquet", columns=["vec_id", "embedding"])
         ),
     )
     timed(
         "events_window",
         lambda: EV.windowed_agg(
-            rd.read_parquet(f"{SF_DIR}/events.parquet", columns=["event_id", "ts", "user_id", "value"])
+            _read_clean(f"{SF_DIR}/events.parquet", columns=["event_id", "ts", "user_id", "value"])
         ),
     )
     timed(
         "sessionize",
         lambda: EV.sessionize(
-            rd.read_parquet(f"{SF_DIR}/events.parquet", columns=["event_id", "ts", "user_id"])
+            _read_clean(f"{SF_DIR}/events.parquet", columns=["event_id", "ts", "user_id"])
         ),
     )
     timed(
         "lineitem_agg",
         lambda: EV.lineitem_pricing_summary(
-            rd.read_parquet(
+            _read_clean(
                 f"{SF_DIR}/lineitem.parquet",
                 columns=["l_returnflag", "l_linestatus", "l_quantity"],
             )
@@ -155,6 +209,8 @@ def run_queries() -> dict:
 
 
 def main_bench(flagship_only: bool = False, n_docs: int | None = None) -> dict:
+    # control BEFORE ray.init: a Ray-free box-load probe in the same session
+    control_sec = control_workload()
     _init_ray(NUM_CPUS)
     # partition count is sized to the DATA (as on a real cluster), not to
     # the local CPU count — the same job must run identically at N and 4N
@@ -169,6 +225,7 @@ def main_bench(flagship_only: bool = False, n_docs: int | None = None) -> dict:
         sf_val = float(sf)
     except ValueError:
         sf_val = None
+    box = control_sec / CONTROL_REF_SEC
     out = {
         "metric": "osm_docs_end_to_end",
         "value": round(flag["flagship_sec"], 3),
@@ -176,6 +233,14 @@ def main_bench(flagship_only: bool = False, n_docs: int | None = None) -> dict:
         "queries": queries,
         "sf": sf_val,
         "num_cpus": NUM_CPUS,
+        # box-load normalization (VERDICT r2 #3): control_sec is the
+        # pinned Ray-free workload measured in THIS session;
+        # value_normalized = value / (control_sec / CONTROL_REF_SEC).
+        # Compare value_normalized across rounds to detect regressions.
+        "control_sec": round(control_sec, 3),
+        "control_ref_sec": CONTROL_REF_SEC,
+        "box_load_factor": round(box, 3),
+        "value_normalized": round(flag["flagship_sec"] / box, 3),
         **{k: (round(v, 2) if isinstance(v, float) else v) for k, v in flag.items()},
     }
     return out

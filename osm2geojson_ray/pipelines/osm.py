@@ -69,22 +69,43 @@ def resolve_salt(
     return int(min(256, -(-biggest // cfg.salt_trigger) * 2))
 
 
-def build(documents: ray.data.Dataset, cfg: OsmPipelineConfig = OsmPipelineConfig()):
+def build(
+    documents: ray.data.Dataset,
+    cfg: OsmPipelineConfig = OsmPipelineConfig(),
+    stage_timings: dict | None = None,
+):
     """Dataset graph for every stage output.  With materialize_shared,
     multi-consumer intermediates (elements, parsed tables, complete ways
-    and relations) are pinned once; everything downstream still streams."""
+    and relations) are pinned once; everything downstream still streams.
+
+    ``stage_timings``: pass a dict to record the wall time of each
+    materialization boundary (bench.py per-stage reporting, VERDICT r2
+    #3); a no-op when materialize_shared is off."""
+    import time as _time
+
     blocks = max(8, min(cfg.num_parts, 32))
+
+    def _timed(name: str, thunk):
+        if stage_timings is None:
+            return thunk()
+        t0 = _time.perf_counter()
+        out = thunk()
+        stage_timings[name] = round(_time.perf_counter() - t0, 3)
+        return out
+
     if cfg.materialize_shared:
         # parse tables inherit the read's block count — coalesce them;
         # exchange outputs are already coalesced to num_parts blocks.
-        mat_src = lambda ds: ds.repartition(blocks).materialize()  # noqa: E731
-        mat = lambda ds: ds.materialize()  # noqa: E731
+        mat_src = lambda name, ds: _timed(  # noqa: E731
+            name, lambda: ds.repartition(blocks).materialize()
+        )
+        mat = lambda name, ds: _timed(name, lambda: ds.materialize())  # noqa: E731
     else:
-        mat_src = mat = lambda ds: ds  # noqa: E731
-    elements = mat_src(extract_elements(documents))
-    nodes = mat_src(P.parse_nodes(elements))
-    ways = mat_src(P.parse_ways(elements))
-    relations = mat_src(P.parse_relations(elements))
+        mat_src = mat = lambda name, ds: ds  # noqa: E731
+    elements = mat_src("elements", extract_elements(documents))
+    nodes = mat_src("parse_nodes", P.parse_nodes(elements))
+    ways = mat_src("parse_ways", P.parse_ways(elements))
+    relations = mat_src("parse_relations", P.parse_relations(elements))
     rejects = P.parse_rejects(elements)
     # staged execution: a materialization boundary every 1-2 exchanges.
     # One giant lazy DAG is measurably slower on Ray's streaming executor
@@ -96,11 +117,11 @@ def build(documents: ray.data.Dataset, cfg: OsmPipelineConfig = OsmPipelineConfi
     # staged boundaries measured FASTER than a fully lazy DAG at the
     # 600k-doc corpus in both rounds (single-consumer J4 left lazy was
     # ~1.6x slower at 8 CPUs: concurrent operator stages contend)
-    complete_ways = mat(J.j2_complete_ways(ways, wn, np_, salt))
+    complete_ways = mat("j1_j2_complete_ways", J.j2_complete_ways(ways, wn, np_, salt))
     rn = J.j3_rel_nodes(nodes, P.node_rel_edges(relations), np_)
-    rwn = mat(J.j4_rel_with_nodes(relations, rn, np_, salt))
+    rwn = mat("j3_j4_rel_with_nodes", J.j4_rel_with_nodes(relations, rn, np_, salt))
     rw = J.j5_rel_ways(complete_ways, P.way_rel_edges(relations), np_)
-    complete_rels = mat(J.j6_complete_relations(rwn, rw, np_, salt))
+    complete_rels = mat("j5_j6_complete_relations", J.j6_complete_relations(rwn, rw, np_, salt))
     dag = {
         "way_nodes": wn,
         "complete_ways": complete_ways,
