@@ -22,3 +22,27 @@ for semantics parity only.
 """
 
 __version__ = "0.1.0"
+
+import logging as _logging
+
+
+class _EmptyNewSchemaFilter(_logging.Filter):
+    """Drop ONLY the RefBundle-schema-divergence warning whose NEW schema
+    is empty.  Ray's streaming executor already ignores an empty OLD
+    schema (streaming_executor_state.py) but still warns when an empty
+    block (a zero-row map_groups partition from the sort shuffle at small
+    scale) follows a schema-ful one — pure noise that buried real drift
+    in every bench tail (VERDICT r2 #7).  Divergence between two
+    NON-empty schemas still warns."""
+
+    def filter(self, record: _logging.LogRecord) -> bool:  # noqa: A003
+        msg = record.getMessage()
+        return not (
+            "RefBundle with a different schema" in msg
+            and "new schema: . This may lead" in msg
+        )
+
+
+_logging.getLogger(
+    "ray.data._internal.execution.streaming_executor_state"
+).addFilter(_EmptyNewSchemaFilter())

@@ -34,6 +34,14 @@ PART_COL = "__part"
 _KNUTH = np.uint64(0x9E3779B97F4A7C15)
 
 
+def from_pandas_clean(df: pd.DataFrame) -> pa.Table:
+    """``pa.Table.from_pandas`` minus the ``pandas`` schema-metadata dict.
+    The metadata makes the Arrow schema unhashable, which defeats Ray's
+    block-schema deduplication ('Failed to hash the schemas' in every
+    sort reduce downstream of a pandas-built block, VERDICT r2 #7)."""
+    return pa.Table.from_pandas(df, preserve_index=False).replace_schema_metadata(None)
+
+
 def _hash_column(col: pa.ChunkedArray | pa.Array) -> np.ndarray:
     arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
     if pa.types.is_integer(arr.type):

@@ -17,7 +17,7 @@ import pyarrow as pa
 import ray.data
 
 from ..functions import hashing as H
-from ..functions.grouping import distinct, partition_map
+from ..functions.grouping import from_pandas_clean, distinct, partition_map
 from .similarity import _emb64
 
 
@@ -36,12 +36,12 @@ def dedup_exact(docs: ray.data.Dataset, num_parts: int = 32) -> ray.data.Dataset
              "doc_id": t.column("doc_id").to_pandas()}
         )
         g = df.groupby("digest", sort=False)["doc_id"].min().reset_index()
-        return pa.Table.from_pandas(g, preserve_index=False)
+        return from_pandas_clean(g)
 
     def part_min(t: pa.Table) -> pa.Table:
         df = t.to_pandas()
         g = df.groupby("digest", sort=False)["doc_id"].min().reset_index()
-        return pa.Table.from_pandas(g[["doc_id"]], preserve_index=False)
+        return from_pandas_clean(g[["doc_id"]])
 
     pre = docs.map_batches(local_min, batch_format="pyarrow", zero_copy_batch=True)
     return partition_map(pre, ["digest"], num_parts, part_min)
@@ -77,10 +77,7 @@ def dedup_minhash_pairs(docs: ray.data.Dataset, num_parts: int = 32) -> ray.data
     def pairs(t: pa.Table) -> pa.Table:
         df = t.to_pandas()
         out = _pairs_within_groups(df, ["band_key"])
-        return pa.Table.from_pandas(
-            out.rename(columns={"doc_id_a": "doc_a", "doc_id_b": "doc_b"}),
-            preserve_index=False,
-        )
+        return from_pandas_clean(out.rename(columns={"doc_id_a": "doc_a", "doc_id_b": "doc_b"}))
 
     cand = partition_map(sigs, ["band_key"], num_parts, pairs)
     # distinct across bands
@@ -121,10 +118,7 @@ def simhash_bands(docs: ray.data.Dataset, num_parts: int = 32) -> ray.data.Datas
     def pairs(t: pa.Table) -> pa.Table:
         df = t.to_pandas()
         out = _pairs_within_groups(df, ["band_key"])
-        return pa.Table.from_pandas(
-            out.rename(columns={"doc_id_a": "doc_a", "doc_id_b": "doc_b"}),
-            preserve_index=False,
-        )
+        return from_pandas_clean(out.rename(columns={"doc_id_a": "doc_a", "doc_id_b": "doc_b"}))
 
     cand = partition_map(sigs, ["band_key"], num_parts, pairs)
 
@@ -153,7 +147,7 @@ def _jaccard_small_plan(
         jac = inter["ni"].astype(float) / (inter["na"] + inter["nb"] - inter["ni"]).astype(float)
         keep = inter[jac >= threshold]
         out = keep.rename(columns={"doc_id_a": "doc_a", "doc_id_b": "doc_b"})[["doc_a", "doc_b"]]
-        return pa.Table.from_pandas(out, preserve_index=False)
+        return from_pandas_clean(out)
 
     return partition_map(sh, ["source"], num_parts, pairs)
 
@@ -237,9 +231,7 @@ def ngram_jaccard_pairs(
         rnk = df.groupby("doc_id", sort=False).cumcount()
         p = df["size"] - np.ceil(threshold * df["size"]).astype(np.int64) + 1
         keep = df[rnk < p]
-        return pa.Table.from_pandas(
-            keep[["source", "doc_id", "h", "size"]], preserve_index=False
-        )
+        return from_pandas_clean(keep[["source", "doc_id", "h", "size"]])
 
     pref = partition_map(joined, ["doc_id"], num_parts, prefix)
 
@@ -252,7 +244,7 @@ def ngram_jaccard_pairs(
             columns={"doc_id_a": "doc_a", "doc_id_b": "doc_b",
                      "size_a": "n_a", "size_b": "n_b"}
         )[["doc_a", "doc_b", "n_a", "n_b"]].drop_duplicates()
-        return pa.Table.from_pandas(out, preserve_index=False)
+        return from_pandas_clean(out)
 
     cand = distinct(
         partition_map(pref, ["source", "h"], num_parts, pairs),
@@ -445,7 +437,7 @@ def _embedding_dup_pairs_lsh(
                  "table_id": pa.array([], pa.int32()),
                  "code": pa.array([], pa.int64()),
                  "vec_id": pa.array([], pa.int64()),
-                 "embedding": pa.array([], pa.list_(pa.float64()))}
+                 "embedding": pa.array([], t.schema.field("embedding").type)}
             )
         mat = _emb64(t.column("embedding"))
         tables = []

@@ -12,7 +12,7 @@ import pyarrow as pa
 
 import ray.data
 
-from ..functions.grouping import partition_map
+from ..functions.grouping import from_pandas_clean, partition_map
 
 
 def windowed_agg(events: ray.data.Dataset, num_parts: int = 32) -> ray.data.Dataset:
@@ -26,7 +26,7 @@ def windowed_agg(events: ray.data.Dataset, num_parts: int = 32) -> ray.data.Data
         g = df.groupby(["user_id", "window_start"], sort=False).agg(
             n=("event_id", "size"), min_value=("value", "min"), max_value=("value", "max")
         ).reset_index()
-        return pa.Table.from_pandas(g, preserve_index=False)
+        return from_pandas_clean(g)
 
     def merge(t: pa.Table) -> pa.Table:
         df = t.to_pandas()
@@ -34,7 +34,7 @@ def windowed_agg(events: ray.data.Dataset, num_parts: int = 32) -> ray.data.Data
             n=("n", "sum"), min_value=("min_value", "min"), max_value=("max_value", "max")
         ).reset_index()
         g["n"] = g["n"].astype("int64")
-        return pa.Table.from_pandas(g, preserve_index=False)
+        return from_pandas_clean(g)
 
     pre = events.map_batches(local, batch_format="pyarrow", zero_copy_batch=True)
     return partition_map(pre, ["user_id", "window_start"], num_parts, merge)
@@ -54,9 +54,7 @@ def sessionize(
         gap_break = df["ts"].diff() > gap
         start = new_user | gap_break
         df["session_id"] = start.groupby(df["user_id"].values).cumsum().astype("int64")
-        return pa.Table.from_pandas(
-            df[["event_id", "user_id", "session_id"]], preserve_index=False
-        )
+        return from_pandas_clean(df[["event_id", "user_id", "session_id"]])
 
     return partition_map(events, ["user_id"], num_parts, sess)
 

@@ -11,6 +11,8 @@ import pyarrow as pa
 import ray
 import ray.data
 
+from ..functions.grouping import from_pandas_clean
+
 
 def _emb64(col: pa.ChunkedArray | pa.Array) -> np.ndarray:
     """float64 (n, d) matrix from a fixed-length list<float> column —
@@ -96,9 +98,7 @@ def ann_bruteforce(
                             ascending=[True, False, True], kind="mergesort")
         df["rnk"] = df.groupby("query_id").cumcount() + 1
         df = df[df["rnk"] <= k]
-        return pa.Table.from_pandas(
-            df[["query_id", "neighbor_id", "rnk"]], preserve_index=False
-        )
+        return from_pandas_clean(df[["query_id", "neighbor_id", "rnk"]])
 
     return partition_map(local, ["query_id"], num_parts, global_topk)
 
@@ -211,9 +211,7 @@ def _bucketed_topk(bucketed: ray.data.Dataset, k: int, num_parts: int) -> ray.da
                             ascending=[True, False, True], kind="mergesort")
         df["rnk"] = df.groupby("query_id", sort=False).cumcount() + 1
         df = df[df["rnk"] <= k]
-        return pa.Table.from_pandas(
-            df[["query_id", "neighbor_id", "rnk"]], preserve_index=False
-        )
+        return from_pandas_clean(df[["query_id", "neighbor_id", "rnk"]])
 
     return partition_map(local, ["query_id"], num_parts, global_topk)
 
@@ -339,11 +337,14 @@ def ann_ivf(
 
         def __call__(self, t: pa.Table) -> pa.Table:
             if t.num_rows == 0 or len(self.cmat) == 0:
+                # empty branch reuses the INPUT's embedding type (the
+                # testdata is list<float32>) so empty blocks don't emit a
+                # divergent schema into the downstream sort
                 return pa.table(
                     {"vec_id": pa.array([], pa.int64()),
                      "bucket": pa.array([], pa.int64()),
                      "is_query": pa.array([], pa.bool_()),
-                     "embedding": pa.array([], pa.list_(pa.float64()))}
+                     "embedding": pa.array([], t.schema.field("embedding").type)}
                 )
             ids, mat = _matrix(t)
             sim = mat @ self.cmat.T  # |v| > 0 scales rows uniformly: argmax/top-nprobe unchanged

@@ -18,7 +18,7 @@ import ray.data
 
 from ..functions import cells as C
 from ..functions.geometry import points_in_polygon
-from ..functions.grouping import distinct
+from ..functions.grouping import from_pandas_clean, distinct
 from ..functions.joins import flat_join
 from ..schema import TILES
 
@@ -703,7 +703,7 @@ def knn_distributed(
                         ),
                     ]
                 )
-            return pa.Table.from_pandas(out, preserve_index=False)
+            return from_pandas_clean(out)
 
         scored = partition_map(cand, ["point_id"], num_parts, topk).materialize()
         rounds.append(
