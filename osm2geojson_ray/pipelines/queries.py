@@ -389,8 +389,28 @@ def q_pip(sf_dir: str) -> ray.data.Dataset:
     return assign_points_to_polygons(points, polys, res=TILE_RES, num_partitions=8)
 
 
-def q_rejects_dup_ids(sf_dir: str) -> ray.data.Dataset:
-    return P.duplicate_id_rejects(_core(sf_dir, "elements"), num_parts=8)
+def q_rejects_dup_ids(sf_dir: str):
+    ds = P.duplicate_id_rejects(_core(sf_dir, "elements"), num_parts=8)
+    df = ds.to_pandas()
+    if df.shape[1] == 0:
+        # Ray drops block schema when EVERY output block is empty (the
+        # normal case — a clean corpus has no duplicate ids), so
+        # Dataset.to_pandas() yields a zero-column frame and the gate's
+        # schema compare fails.  Restore the operator's fixed schema;
+        # rejects tables are small by contract, so the materialization is
+        # what the gate does anyway.
+        import pandas as pd
+
+        df = pd.DataFrame(
+            {
+                "doc_id": pd.Series(dtype="object"),
+                "span_idx": pd.Series(dtype="int64"),
+                "kind": pd.Series(dtype="object"),
+                "elem_id": pd.Series(dtype="int64"),
+                "reason": pd.Series(dtype="object"),
+            }
+        )
+    return df
 
 
 def q_rejects(sf_dir: str) -> ray.data.Dataset:
