@@ -16,6 +16,7 @@ import ray.data
 from ..functions import hashing as H
 from ..stages import dedup as D
 from ..stages import events as EV
+from ..stages import relational as R
 from ..stages import similarity as S
 from ..stages import text as T
 from ..stages.multimodal import media_features
@@ -162,6 +163,38 @@ def q_media_features(sf_dir: str):
     )
 
 
+def q_orders_topn(sf_dir: str):
+    li = _read_clean(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_extendedprice", "l_discount"],
+    )
+    orders = _read_clean(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey", "o_orderdate"]
+    )
+    cust = _read_clean(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_mktsegment"]
+    )
+    return R.orders_revenue_topn(li, orders, cust)
+
+
+def q_customer_enrich(sf_dir: str):
+    import pyarrow.parquet as pq
+
+    cust = _read_clean(
+        f"{sf_dir}/customer.parquet",
+        columns=["c_custkey", "c_name", "c_nationkey", "c_mktsegment"],
+    )
+    nation = pq.read_table(
+        f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name", "n_regionkey"]
+    )
+    region = pq.read_table(f"{sf_dir}/region.parquet")
+    return R.customer_enrich(cust, nation, region)
+
+
+def q_dedup_clusters(sf_dir: str):
+    return D.dedup_clusters(_docs_cols(sf_dir, ["doc_id", "text"]))
+
+
 TRAINING_QUERIES = {
     "token_stats": q_token_stats,
     "text_quality": q_quality,
@@ -178,6 +211,9 @@ TRAINING_QUERIES = {
     "sessionize": q_sessionize,
     "lineitem_agg": q_lineitem_agg,
     "media_features": q_media_features,
+    "orders_topn": q_orders_topn,
+    "customer_enrich": q_customer_enrich,
+    "dedup_clusters": q_dedup_clusters,
     # approximate by design, but seeded/deterministic → both oracle-backed
     # (LSH: seeded planes as SQL literals; IVF: sample-trained centroids
     # re-derived by the oracle generator and inlined as SQL literals)
@@ -295,6 +331,45 @@ FROM toks GROUP BY doc_id
     sql["simhash"] = f"WITH {_simhash_sql_core()}\nSELECT doc_id, simhash FROM sh"
 
     sql["dedup_exact"] = "SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)"
+
+    sql["orders_topn"] = """
+WITH rev AS (
+  SELECT l_orderkey AS o_orderkey,
+         SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+             * (100 - CAST(ROUND(l_discount * 100) AS BIGINT))) AS revenue_c
+  FROM lineitem GROUP BY 1),
+sel AS (
+  SELECT o.o_orderkey, o.o_orderdate, r.revenue_c
+  FROM rev r
+  JOIN orders o ON r.o_orderkey = o.o_orderkey
+   AND o.o_orderdate < TIMESTAMP '1998-01-01'
+  JOIN customer c ON o.o_custkey = c.c_custkey
+   AND c.c_mktsegment = 'BUILDING')
+SELECT * FROM sel ORDER BY revenue_c DESC, o_orderkey LIMIT 10
+"""
+
+    sql["customer_enrich"] = """
+SELECT c_custkey, c_name, c_mktsegment, n_name, r_name
+FROM customer
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+"""
+
+    sql["dedup_clusters"] = f"""
+WITH RECURSIVE {_minhash_sig_sql()},
+pairs AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b ON a.band_key = b.band_key AND a.doc_id < b.doc_id),
+edges AS (
+  SELECT doc_a AS u, doc_b AS v FROM pairs
+  UNION ALL
+  SELECT doc_b AS u, doc_a AS v FROM pairs),
+reach(u, v) AS (
+  SELECT doc_id AS u, doc_id AS v FROM documents
+  UNION
+  SELECT e.u AS u, r.v AS v FROM edges e JOIN reach r ON r.u = e.v)
+SELECT u AS doc_id, MIN(v) AS cluster_id FROM reach GROUP BY u
+"""
 
     sql["minhash_pairs"] = f"""
 WITH {_minhash_sig_sql()}

@@ -499,3 +499,102 @@ def _embedding_dup_pairs_lsh(
     cand = partition_map(rep, ["label", "table_id", "code"], num_parts, verify)
     # a pair can surface from several tables: one global exact dedup
     return distinct(cand, ["vec_a", "vec_b"], num_parts)
+
+
+DOC_LABEL_SCHEMA = pa.schema([("doc_id", pa.int64()), ("dst", pa.int64())])
+LABEL_SCHEMA = pa.schema([("doc_id", pa.int64()), ("label", pa.int64())])
+
+
+def dedup_clusters(
+    docs: ray.data.Dataset, num_parts: int = 32, max_iters: int = 50
+) -> ray.data.Dataset:
+    """Fuzzy dedup end-to-end: connected components over the MinHash-LSH
+    candidate-pair graph → (doc_id, cluster_id), where ``cluster_id`` is
+    the minimum doc_id reachable through near-duplicate pairs (singletons
+    map to themselves; the canonical survivor of each cluster is the row
+    with doc_id == cluster_id).
+
+    Distributed min-label propagation: per round, every edge proposes its
+    source's label to its target (one hash join), then labels take the
+    min proposal (one hash exchange) — 2 exchanges per round, converging
+    in O(component diameter) rounds.  LSH components are band-bucket
+    unions, so diameters stay small; the driver only coordinates the
+    bounded round loop and reads a scalar changed-count per round
+    (same pattern as ``tiling.knn_distributed``'s rounds).  For
+    adversarial long-chain graphs swap in star-contraction; the
+    partitioning/merge shape here is unchanged.
+    """
+    from ..functions.joins import join_on_unique
+
+    pairs = dedup_minhash_pairs(docs, num_parts=num_parts).materialize()
+
+    def bidir(t: pa.Table) -> pa.Table:
+        a = t.column("doc_a").combine_chunks().cast(pa.int64())
+        b = t.column("doc_b").combine_chunks().cast(pa.int64())
+        return pa.table(
+            {"doc_id": pa.concat_arrays([a, b]), "dst": pa.concat_arrays([b, a])}
+        )
+
+    edges = pairs.map_batches(bidir, batch_format="pyarrow", zero_copy_batch=True).materialize()
+
+    labels = docs.map_batches(
+        lambda t: pa.table(
+            {"doc_id": t.column("doc_id"), "label": t.column("doc_id")}
+        ),
+        batch_format="pyarrow", zero_copy_batch=True,
+    ).materialize()
+
+    def tag_old(t: pa.Table) -> pa.Table:
+        return t.append_column("is_old", pa.array(np.ones(t.num_rows, np.int8)))
+
+    def cand_shape(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {"doc_id": t.column("dst"), "label": t.column("label"),
+             "is_old": pa.array(np.zeros(t.num_rows, np.int8))}
+        )
+
+    def merge_min(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {"doc_id": pa.array([], pa.int64()),
+                 "label": pa.array([], pa.int64()),
+                 "changed": pa.array([], pa.int8())}
+            )
+        tb = t.combine_chunks().sort_by([("doc_id", "ascending")])
+        d = np.asarray(tb.column("doc_id"))
+        lab = np.asarray(tb.column("label"))
+        old = np.asarray(tb.column("is_old"))
+        change_pts = np.nonzero(d[1:] != d[:-1])[0] + 1
+        offs = np.concatenate([[0], change_pts]).astype(np.int64)
+        minl = np.minimum.reduceat(lab, offs)
+        old_l = lab[old == 1]  # exactly one labels row per doc (all docs seeded)
+        changed = (minl < old_l).astype(np.int8)
+        return pa.table(
+            {"doc_id": pa.array(d[offs], pa.int64()),
+             "label": pa.array(minl, pa.int64()),
+             "changed": pa.array(changed)}
+        )
+
+    for _ in range(max_iters):
+        cand = join_on_unique(
+            edges, labels, "doc_id", DOC_LABEL_SCHEMA, LABEL_SCHEMA,
+            how="inner", num_parts=num_parts,
+        ).map_batches(cand_shape, batch_format="pyarrow", zero_copy_batch=True)
+        old_tagged = labels.map_batches(tag_old, batch_format="pyarrow", zero_copy_batch=True)
+        merged = partition_map(
+            old_tagged.union(cand), ["doc_id"], num_parts, merge_min
+        ).materialize()
+        n_changed = merged.sum("changed")
+        labels = merged.map_batches(
+            lambda t: t.select(["doc_id", "label"]),
+            batch_format="pyarrow", zero_copy_batch=True,
+        ).materialize()
+        if not n_changed:
+            break
+
+    return labels.map_batches(
+        lambda t: pa.table(
+            {"doc_id": t.column("doc_id"), "cluster_id": t.column("label")}
+        ),
+        batch_format="pyarrow", zero_copy_batch=True,
+    )

@@ -1,0 +1,194 @@
+"""Relational pipelines over the TPC-H-ish driver tables — the engine's
+generic join/aggregate machinery exercised outside the OSM DAG, one
+query per join strategy, each the scale-correct choice for its side
+sizes:
+
+- ``orders_revenue_topn``: Q3-shaped 3-table join (customer ⋈ orders ⋈
+  lineitem).  Every side is data-sized (at 100 TB none fits one
+  worker), so each join is the single-exchange hash co-group
+  (``join_on_unique``); revenue is pre-aggregated per order INSIDE
+  ``map_batches`` (combiner) before any exchange, and the top-N is a
+  per-block local top-N followed by one tiny single-block merge — never
+  a global sort.
+- ``customer_enrich``: nation (25 rows) and region (5 rows) are bounded
+  at EVERY scale, so the lookup is composed once on the driver,
+  ``ray.put`` once, and read per actor in ``__init__`` — no shuffle.
+
+Revenue uses exact integer cents (``round(price*100) * (100 -
+round(discount*100))``) so the grouped sums are order-independent and
+bit-stable against the SQL oracle — float accumulation would depend on
+partitioning.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray
+import ray.data
+
+from ..functions.grouping import partition_map
+from ..functions.joins import join_on_unique
+
+REV_SCHEMA = pa.schema([("o_orderkey", pa.int64()), ("revenue_c", pa.int64())])
+TOPN_SCHEMA = pa.schema(
+    [("o_orderkey", pa.int64()), ("o_orderdate", pa.timestamp("us")),
+     ("revenue_c", pa.int64())]
+)
+
+
+def _round_half_up_cents(x: np.ndarray) -> np.ndarray:
+    # matches SQL ROUND (half away from zero; all values here are >= 0)
+    return np.floor(x * 100.0 + 0.5).astype(np.int64)
+
+
+def _rev_shape(g: pa.Table, sum_col: str) -> pa.Table:
+    return pa.table(
+        {
+            "o_orderkey": g.column("o_orderkey").combine_chunks().cast(pa.int64()),
+            "revenue_c": g.column(sum_col).combine_chunks().cast(pa.int64()),
+        }
+    )
+
+
+def order_revenue(lineitem: ray.data.Dataset, num_parts: int = 32) -> ray.data.Dataset:
+    """lineitem → (o_orderkey, revenue_c): exact integer-cent revenue per
+    order.  Combiner inside each input block (≤ distinct-orders rows leave
+    a block), then ONE hash exchange merges partials."""
+
+    def local(t: pa.Table) -> pa.Table:
+        ep = np.asarray(t.column("l_extendedprice"))
+        disc = np.asarray(t.column("l_discount"))
+        rev = _round_half_up_cents(ep) * (100 - _round_half_up_cents(disc))
+        tb = pa.table(
+            {"o_orderkey": t.column("l_orderkey"), "revenue_c": pa.array(rev)}
+        )
+        return _rev_shape(tb.group_by(["o_orderkey"]).aggregate([("revenue_c", "sum")]),
+                          "revenue_c_sum")
+
+    def merge(t: pa.Table) -> pa.Table:
+        return _rev_shape(t.group_by(["o_orderkey"]).aggregate([("revenue_c", "sum")]),
+                          "revenue_c_sum")
+
+    pre = lineitem.map_batches(local, batch_format="pyarrow", zero_copy_batch=True)
+    return partition_map(pre, ["o_orderkey"], num_parts, merge)
+
+
+def orders_revenue_topn(
+    lineitem: ray.data.Dataset,
+    orders: ray.data.Dataset,
+    customer: ray.data.Dataset,
+    segment: str = "BUILDING",
+    cutoff: str = "1998-01-01",
+    top_n: int = 10,
+    num_parts: int = 32,
+) -> ray.data.Dataset:
+    """Top-``top_n`` orders by revenue among orders placed before
+    ``cutoff`` by customers in ``segment`` — (o_orderkey, o_orderdate,
+    revenue_c), revenue over ALL the order's lineitems."""
+    cut = np.datetime64(cutoff, "us")
+
+    rev = order_revenue(lineitem, num_parts=num_parts)
+
+    def orders_filter(t: pa.Table) -> pa.Table:
+        keep = pc.less(t.column("o_orderdate"), pa.scalar(cut, pa.timestamp("us")))
+        return t.filter(keep).select(["o_orderkey", "o_custkey", "o_orderdate"])
+
+    orders_f = orders.map_batches(orders_filter, batch_format="pyarrow", zero_copy_batch=True)
+    orders_schema = pa.schema(
+        [("o_orderkey", pa.int64()), ("o_custkey", pa.int64()),
+         ("o_orderdate", pa.timestamp("us"))]
+    )
+    with_orders = join_on_unique(
+        rev, orders_f, "o_orderkey", REV_SCHEMA, orders_schema,
+        how="inner", num_parts=num_parts,
+    )
+
+    def cust_filter(t: pa.Table) -> pa.Table:
+        keep = pc.equal(t.column("c_mktsegment"), segment)
+        return pa.table({"o_custkey": t.filter(keep).column("c_custkey")})
+
+    cust_f = customer.map_batches(cust_filter, batch_format="pyarrow", zero_copy_batch=True)
+    joined_schema = pa.schema(
+        [("o_orderkey", pa.int64()), ("revenue_c", pa.int64()),
+         ("o_custkey", pa.int64()), ("o_orderdate", pa.timestamp("us"))]
+    )
+    # unique side carries ONLY the key -> pure semijoin, no payload moves
+    semi = join_on_unique(
+        with_orders, cust_f, "o_custkey", joined_schema,
+        pa.schema([("o_custkey", pa.int64())]), how="inner", num_parts=num_parts,
+    )
+
+    def local_topn(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {"o_orderkey": pa.array([], pa.int64()),
+                 "o_orderdate": pa.array([], pa.timestamp("us")),
+                 "revenue_c": pa.array([], pa.int64())}
+            )
+        rev_np = np.asarray(t.column("revenue_c"))
+        okey = np.asarray(t.column("o_orderkey"))
+        order = np.lexsort((okey, -rev_np))[:top_n]
+        taken = t.take(pa.array(order))
+        return pa.table(
+            {"o_orderkey": taken.column("o_orderkey"),
+             "o_orderdate": taken.column("o_orderdate"),
+             "revenue_c": taken.column("revenue_c")}
+        )
+
+    # per-block top-N (≤ top_n rows leave any block) → one-block final merge
+    return (
+        semi.map_batches(local_topn, batch_format="pyarrow", zero_copy_batch=True)
+        .repartition(1)
+        .map_batches(local_topn, batch_format="pyarrow", zero_copy_batch=True)
+    )
+
+
+def customer_enrich(
+    customer: ray.data.Dataset,
+    nation: pa.Table,
+    region: pa.Table,
+    concurrency=(1, 8),
+) -> ray.data.Dataset:
+    """customer → (c_custkey, c_name, c_mktsegment, n_name, r_name) via a
+    BROADCAST of the bounded nation⋈region lookup: composed once on the
+    driver (30 rows), ``ray.put`` once, fetched per actor in
+    ``__init__`` — the small-side join strategy (no shuffle, contrast
+    with ``orders_revenue_topn``'s data-sized hash joins)."""
+    rk = np.asarray(region.column("r_regionkey"), dtype=np.int64)
+    r_order = np.argsort(rk)
+    rnames = np.asarray(region.column("r_name").to_pylist(), dtype=object)[r_order]
+    nk = np.asarray(nation.column("n_nationkey"), dtype=np.int64)
+    n_order = np.argsort(nk)
+    nk_sorted = nk[n_order]
+    nnames = np.asarray(nation.column("n_name").to_pylist(), dtype=object)[n_order]
+    n_regionkey = np.asarray(nation.column("n_regionkey"), dtype=np.int64)[n_order]
+    n_rnames = rnames[np.searchsorted(rk[r_order], n_regionkey)]
+    lookup_ref = ray.put((nk_sorted, nnames, n_rnames))
+
+    class Enrich:
+        def __init__(self) -> None:
+            self.nk, self.nn, self.rn = ray.get(lookup_ref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            ck = np.asarray(t.column("c_nationkey")).astype(np.int64)
+            idx = np.searchsorted(self.nk, ck)
+            idx = np.minimum(idx, len(self.nk) - 1)
+            matched = self.nk[idx] == ck
+            sel = pa.array(matched)
+            idx = idx[matched]
+            return pa.table(
+                {
+                    "c_custkey": t.column("c_custkey").filter(sel),
+                    "c_name": t.column("c_name").filter(sel),
+                    "c_mktsegment": t.column("c_mktsegment").filter(sel),
+                    "n_name": pa.array(self.nn[idx], pa.string()),
+                    "r_name": pa.array(self.rn[idx], pa.string()),
+                }
+            )
+
+    return customer.map_batches(
+        Enrich, batch_format="pyarrow", zero_copy_batch=True, concurrency=concurrency
+    )

@@ -1,0 +1,158 @@
+"""Relational pipelines (stages/relational.py) and fuzzy-dedup
+clustering (stages/dedup.dedup_clusters): engine results vs in-memory
+pandas/python references on the sf0.001 driver tables."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+import ray.data as rd
+
+SF = "/root/testdata/sf0.001"
+
+
+def _read(path, cols):
+    sch = pq.read_schema(path).remove_metadata()
+    sch = pa.schema([sch.field(c) for c in cols])
+    return rd.read_parquet(path, columns=cols, schema=sch)
+
+
+def test_order_revenue_matches_pandas():
+    from osm2geojson_ray.stages.relational import order_revenue
+
+    li = _read(f"{SF}/lineitem.parquet", ["l_orderkey", "l_extendedprice", "l_discount"])
+    got = order_revenue(li, num_parts=8).to_pandas().sort_values("o_orderkey").reset_index(drop=True)
+
+    df = pq.read_table(f"{SF}/lineitem.parquet").to_pandas()
+    cents = np.floor(df.l_extendedprice * 100 + 0.5).astype(np.int64)
+    dpct = np.floor(df.l_discount * 100 + 0.5).astype(np.int64)
+    df["revenue_c"] = cents * (100 - dpct)
+    ref = (
+        df.groupby("l_orderkey")["revenue_c"].sum().reset_index()
+        .rename(columns={"l_orderkey": "o_orderkey"})
+        .sort_values("o_orderkey").reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, ref, check_dtype=False)
+
+
+def test_orders_revenue_topn_matches_pandas():
+    from osm2geojson_ray.stages.relational import orders_revenue_topn
+
+    li = _read(f"{SF}/lineitem.parquet", ["l_orderkey", "l_extendedprice", "l_discount"])
+    orders = _read(f"{SF}/orders.parquet", ["o_orderkey", "o_custkey", "o_orderdate"])
+    cust = _read(f"{SF}/customer.parquet", ["c_custkey", "c_mktsegment"])
+    got = orders_revenue_topn(li, orders, cust, top_n=5, num_parts=8).to_pandas()
+    got = got.sort_values(["revenue_c", "o_orderkey"], ascending=[False, True]).reset_index(drop=True)
+
+    ldf = pq.read_table(f"{SF}/lineitem.parquet").to_pandas()
+    cents = np.floor(ldf.l_extendedprice * 100 + 0.5).astype(np.int64)
+    dpct = np.floor(ldf.l_discount * 100 + 0.5).astype(np.int64)
+    ldf["revenue_c"] = cents * (100 - dpct)
+    rev = ldf.groupby("l_orderkey")["revenue_c"].sum().reset_index()
+    odf = pq.read_table(f"{SF}/orders.parquet").to_pandas()
+    odf = odf[odf.o_orderdate < pd.Timestamp("1998-01-01")]
+    cdf = pq.read_table(f"{SF}/customer.parquet").to_pandas()
+    cdf = cdf[cdf.c_mktsegment == "BUILDING"]
+    m = rev.merge(odf, left_on="l_orderkey", right_on="o_orderkey")
+    m = m[m.o_custkey.isin(set(cdf.c_custkey))]
+    ref = (
+        m.sort_values(["revenue_c", "o_orderkey"], ascending=[False, True])
+        .head(5)[["o_orderkey", "o_orderdate", "revenue_c"]]
+        .reset_index(drop=True)
+    )
+    assert len(got) == 5
+    pd.testing.assert_frame_equal(got, ref, check_dtype=False)
+
+
+def test_customer_enrich_broadcast():
+    from osm2geojson_ray.stages.relational import customer_enrich
+
+    cust = _read(f"{SF}/customer.parquet", ["c_custkey", "c_name", "c_nationkey", "c_mktsegment"])
+    nation = pq.read_table(f"{SF}/nation.parquet")
+    region = pq.read_table(f"{SF}/region.parquet")
+    got = customer_enrich(cust, nation, region).to_pandas().sort_values("c_custkey").reset_index(drop=True)
+
+    cdf = pq.read_table(f"{SF}/customer.parquet").to_pandas()
+    ndf = nation.to_pandas()
+    rdf = region.to_pandas()
+    ref = (
+        cdf.merge(ndf, left_on="c_nationkey", right_on="n_nationkey")
+        .merge(rdf, left_on="n_regionkey", right_on="r_regionkey")
+        [["c_custkey", "c_name", "c_mktsegment", "n_name", "r_name"]]
+        .sort_values("c_custkey").reset_index(drop=True)
+    )
+    assert len(got) == len(cdf)  # every customer has a nation
+    pd.testing.assert_frame_equal(got, ref, check_dtype=False)
+
+
+@pytest.fixture()
+def clustered_docs():
+    """Docs engineered so MinHash-LSH links (0,1,2) and (10,11) — exact
+    duplicate texts share every band — and leaves the rest singletons."""
+    dup_a = "the quick brown fox jumps over the lazy dog again and again"
+    dup_b = "a completely different duplicated sentence used twice here ok"
+    rows = {0: dup_a, 1: dup_a, 2: dup_a, 10: dup_b, 11: dup_b}
+    for i in range(20, 30):
+        rows[i] = f"unique filler document number {i} with its own words {i * 7} {i * 13}"
+    t = pa.table(
+        {"doc_id": pa.array(list(rows), pa.int64()),
+         "text": pa.array(list(rows.values()), pa.string())}
+    )
+    return rd.from_arrow(t).repartition(4)
+
+
+def test_dedup_clusters_components(clustered_docs):
+    from osm2geojson_ray.stages.dedup import dedup_clusters
+
+    got = dedup_clusters(clustered_docs, num_parts=4).to_pandas()
+    lab = dict(zip(got.doc_id, got.cluster_id))
+    assert lab[0] == lab[1] == lab[2] == 0
+    assert lab[10] == lab[11] == 10
+    for i in range(20, 30):
+        assert lab[i] == i  # singletons keep their own id
+    assert len(got) == 15
+
+
+def test_dedup_clusters_chain_converges():
+    """A chain a-b, b-c must collapse to one cluster even though a and c
+    share no pair — exercises multi-round propagation.  Pairs are forced
+    via texts where (a,b) and (b,c) are near-dups through shared bands:
+    easiest deterministic construction is exact dup pairs bridged by a
+    shared middle doc appearing in both bands groups; use three docs with
+    IDENTICAL text (complete graph) plus a disjoint pair, then check the
+    engine agrees with a python union-find on the engine's OWN pair set."""
+    from osm2geojson_ray.stages.dedup import dedup_clusters, dedup_minhash_pairs
+
+    texts = {
+        1: "alpha beta gamma delta epsilon zeta eta theta",
+        2: "alpha beta gamma delta epsilon zeta eta theta",
+        3: "alpha beta gamma delta epsilon zeta eta theta",
+        7: "один два три четыре пять шесть семь восемь",
+        8: "один два три четыре пять шесть семь восемь",
+        9: "totally unrelated standalone document goes here",
+    }
+    docs = rd.from_arrow(
+        pa.table({"doc_id": pa.array(list(texts), pa.int64()),
+                  "text": pa.array(list(texts.values()), pa.string())})
+    ).repartition(3)
+
+    pairs = dedup_minhash_pairs(docs, num_parts=4).to_pandas()
+    parent = {d: d for d in texts}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in zip(pairs.doc_a, pairs.doc_b):
+        ra, rb = find(int(a)), find(int(b))
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    ref = {d: find(d) for d in texts}
+
+    got = dedup_clusters(docs, num_parts=4).to_pandas()
+    lab = dict(zip(got.doc_id, got.cluster_id))
+    assert lab == ref
