@@ -195,6 +195,38 @@ def q_dedup_clusters(sf_dir: str):
     return D.dedup_clusters(_docs_cols(sf_dir, ["doc_id", "text"]))
 
 
+def q_asof_join(sf_dir: str):
+    ev = _read_clean(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "ts", "user_id", "event_type"],
+    )
+    return EV.asof_join(ev)
+
+
+def q_band_join(sf_dir: str):
+    ev = _read_clean(
+        f"{sf_dir}/events.parquet", columns=["event_id", "value", "event_type"]
+    )
+    return EV.band_join_count(ev)
+
+
+def q_top_orders(sf_dir: str):
+    orders = _read_clean(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_custkey", "o_orderkey", "o_totalprice"],
+    )
+    return R.top_orders_per_customer(orders)
+
+
+def q_quantiles(sf_dir: str):
+    from ..stages.quantiles import grouped_quantiles
+
+    ev = _read_clean(f"{sf_dir}/events.parquet", columns=["event_type", "value"])
+    # small gather_cap keeps the histogram-round path exercised at every
+    # test scale (the pure-gather shortcut would otherwise hide it)
+    return grouped_quantiles(ev, "value", "event_type", gather_cap=256)
+
+
 TRAINING_QUERIES = {
     "token_stats": q_token_stats,
     "text_quality": q_quality,
@@ -214,6 +246,10 @@ TRAINING_QUERIES = {
     "orders_topn": q_orders_topn,
     "customer_enrich": q_customer_enrich,
     "dedup_clusters": q_dedup_clusters,
+    "asof_join": q_asof_join,
+    "band_join": q_band_join,
+    "top_orders": q_top_orders,
+    "event_quantiles": q_quantiles,
     # approximate by design, but seeded/deterministic → both oracle-backed
     # (LSH: seeded planes as SQL literals; IVF: sample-trained centroids
     # re-derived by the oracle generator and inlined as SQL literals)
@@ -353,6 +389,40 @@ SELECT c_custkey, c_name, c_mktsegment, n_name, r_name
 FROM customer
 JOIN nation ON c_nationkey = n_nationkey
 JOIN region ON n_regionkey = r_regionkey
+"""
+
+    sql["asof_join"] = """
+SELECT l.event_id, l.user_id, l.ts,
+       r.event_id AS matched_event_id, r.ts AS matched_ts
+FROM (SELECT * FROM events WHERE event_type = 'purchase') l
+ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') r
+  ON l.user_id = r.user_id AND l.ts >= r.ts
+"""
+
+    sql["band_join"] = """
+SELECT l.event_id, count(r.event_id) AS n_close
+FROM (SELECT * FROM events WHERE event_type = 'purchase') l
+LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') r
+  ON ABS(l.value - r.value) <= 0.5
+GROUP BY 1
+"""
+
+    sql["top_orders"] = """
+SELECT o_custkey, o_orderkey, o_totalprice, rnk FROM (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+         ROW_NUMBER() OVER (
+           PARTITION BY o_custkey
+           ORDER BY o_totalprice DESC, o_orderkey) AS rnk
+  FROM orders)
+WHERE rnk <= 3
+"""
+
+    sql["event_quantiles"] = """
+SELECT event_type, CAST(0.5 AS DOUBLE) AS q, quantile_disc(value, 0.5) AS value FROM events GROUP BY 1
+UNION ALL
+SELECT event_type, CAST(0.9 AS DOUBLE), quantile_disc(value, 0.9) FROM events GROUP BY 1
+UNION ALL
+SELECT event_type, CAST(0.99 AS DOUBLE), quantile_disc(value, 0.99) FROM events GROUP BY 1
 """
 
     sql["dedup_clusters"] = f"""

@@ -1,18 +1,24 @@
-"""Event-stream operators: tumbling-window aggregation and gap-based
-sessionization over events(event_id, ts, user_id, event_type, value).
+"""Event-stream operators over events(event_id, ts, user_id, event_type,
+value): tumbling-window aggregation, gap-based sessionization, keyed
+AS-OF join, and a keyless value band join.
 
-Both are single-shuffle: windowed agg pre-aggregates per batch before its
-group-by; sessionization hash-partitions by user and runs vectorized
-pandas (sort + diff + cumsum) inside each partition."""
+All are bounded-exchange: windowed agg pre-aggregates per batch before
+its group-by; sessionization and the as-of join hash-partition by user
+and run vectorized pandas inside each partition; the band join
+replicates the probe side into at most 3 delta-width value buckets (the
+range-partitioning trick that makes an inequality join shuffle-able)."""
 
 from __future__ import annotations
 
+import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 
 import ray.data
 
 from ..functions.grouping import from_pandas_clean, partition_map
+from ..functions.joins import cogroup_apply
 
 
 def windowed_agg(events: ray.data.Dataset, num_parts: int = 32) -> ray.data.Dataset:
@@ -98,3 +104,174 @@ def lineitem_pricing_summary(lineitem: ray.data.Dataset, num_parts: int = 1) -> 
 
     pre = lineitem.map_batches(local, batch_format="pyarrow", zero_copy_batch=True)
     return partition_map(pre, keys, num_parts, merge)
+
+
+_ASOF_EVENT_SCHEMA = pa.schema(
+    [("event_id", pa.int64()), ("user_id", pa.int64()), ("ts", pa.timestamp("us"))]
+)
+
+
+def asof_join(
+    events: ray.data.Dataset,
+    left_type: str = "purchase",
+    right_type: str = "view",
+    num_parts: int = 32,
+) -> ray.data.Dataset:
+    """Keyed backward AS-OF join: for every ``left_type`` event, the
+    LATEST ``right_type`` event of the same user with right.ts <=
+    left.ts (left-join semantics — unmatched rows keep nulls).
+
+    Plan: filter both sides at the read (only 3 columns move), then ONE
+    hash exchange on user_id via the engine's tagged-union co-group;
+    inside each partition ``pd.merge_asof(by=user_id, direction=
+    backward)`` does the whole per-user nearest-predecessor match
+    vectorized.  Per-user history lands in one partition, so no
+    replication and no sort shuffle; mega-user skew is the same
+    exposure as ``sessionize`` (salt by time range if a single user
+    exceeds a partition — not needed for uniform user traffic).
+    """
+
+    def side(tp: str, names: list[str]):
+        def _f(t: pa.Table) -> pa.Table:
+            keep = pc.equal(t.column("event_type"), tp)
+            return t.filter(keep).select(["event_id", "user_id", "ts"]).rename_columns(names)
+
+        return _f
+
+    left = events.map_batches(
+        side(left_type, ["event_id", "user_id", "ts"]),
+        batch_format="pyarrow", zero_copy_batch=True,
+    )
+    right = events.map_batches(
+        side(right_type, ["matched_event_id", "user_id", "matched_ts"]),
+        batch_format="pyarrow", zero_copy_batch=True,
+    )
+    right_schema = pa.schema(
+        [("matched_event_id", pa.int64()), ("user_id", pa.int64()),
+         ("matched_ts", pa.timestamp("us"))]
+    )
+
+    def match(lt: pa.Table, rt: pa.Table) -> pa.Table:
+        if lt.num_rows == 0:
+            return pa.table(
+                {"event_id": pa.array([], pa.int64()),
+                 "user_id": pa.array([], pa.int64()),
+                 "ts": pa.array([], pa.timestamp("us")),
+                 "matched_event_id": pa.array([], pa.int64()),
+                 "matched_ts": pa.array([], pa.timestamp("us"))}
+            )
+        ld = lt.to_pandas().sort_values("ts", kind="mergesort")
+        rd = rt.to_pandas().sort_values("matched_ts", kind="mergesort")
+        m = pd.merge_asof(
+            ld, rd, left_on="ts", right_on="matched_ts", by="user_id",
+            direction="backward", allow_exact_matches=True,
+        )
+        m["matched_event_id"] = m["matched_event_id"].astype("Int64")
+        return from_pandas_clean(
+            m[["event_id", "user_id", "ts", "matched_event_id", "matched_ts"]]
+        )
+
+    return cogroup_apply(
+        left, right, "user_id", _ASOF_EVENT_SCHEMA, right_schema,
+        match, num_parts=num_parts,
+    )
+
+
+def band_join_count(
+    events: ray.data.Dataset,
+    left_type: str = "purchase",
+    right_type: str = "click",
+    delta: float = 0.5,
+    num_parts: int = 32,
+) -> ray.data.Dataset:
+    """Keyless band join, aggregated: per ``left_type`` event, how many
+    ``right_type`` events have ``abs(l.value - r.value) <= delta`` —
+    (event_id, n_close).
+
+    An inequality join has no equi-key to hash on; the scale shape is
+    RANGE bucketing: build rows land in bucket floor(v/delta), probe
+    rows replicate to buckets b-1..b+1 (a width-2*delta interval can
+    only touch 3 delta-buckets), ONE hash exchange on bucket co-locates
+    every candidate pair, and a sorted-searchsorted sweep inside the
+    partition finds candidates (slack on the bounds, exact float
+    abs-predicate applied after, so the result matches the SQL
+    ``ABS(..) <= delta`` bit-for-bit).  Replication factor is exactly 3
+    regardless of scale; per-bucket population is data-dependent (value
+    skew ⇒ hot buckets — shrink delta or sub-salt buckets).  A second
+    tiny exchange (<= 3 partial rows per probe event) merges replica
+    counts.
+    """
+
+    def side(tp: str, probe: bool):
+        def _f(t: pa.Table) -> pa.Table:
+            keep = pc.equal(t.column("event_type"), tp)
+            t = t.filter(keep).select(["event_id", "value"])
+            v = np.asarray(t.column("value"))
+            b = np.floor(v / delta).astype(np.int64)
+            if not probe:
+                return t.rename_columns(["b_event_id", "b_value"]).append_column(
+                    "bucket", pa.array(b)
+                )
+            idx = np.repeat(np.arange(t.num_rows), 3)
+            rep = t.take(pa.array(idx))
+            off = np.tile(np.array([-1, 0, 1], np.int64), t.num_rows)
+            return rep.append_column("bucket", pa.array(np.repeat(b, 3) + off))
+
+        return _f
+
+    probe_schema = pa.schema(
+        [("event_id", pa.int64()), ("value", pa.float64()), ("bucket", pa.int64())]
+    )
+    build_schema = pa.schema(
+        [("b_event_id", pa.int64()), ("b_value", pa.float64()), ("bucket", pa.int64())]
+    )
+    probe = events.map_batches(side(left_type, True), batch_format="pyarrow", zero_copy_batch=True)
+    build = events.map_batches(side(right_type, False), batch_format="pyarrow", zero_copy_batch=True)
+
+    def count_part(lt: pa.Table, rt: pa.Table) -> pa.Table:
+        if lt.num_rows == 0:
+            return pa.table(
+                {"event_id": pa.array([], pa.int64()), "n": pa.array([], pa.int64())}
+            )
+        lv = np.asarray(lt.column("value"))
+        lb = np.asarray(lt.column("bucket"))
+        rv = np.asarray(rt.column("b_value"))
+        rb = np.asarray(rt.column("bucket"))
+        n = np.zeros(lt.num_rows, np.int64)
+        # build rows native to each bucket, sorted once; probes sweep them
+        order = np.lexsort((rv, rb))
+        rv_s, rb_s = rv[order], rb[order]
+        starts = np.searchsorted(rb_s, lb, side="left")
+        ends = np.searchsorted(rb_s, lb, side="right")
+        slack = delta * (1.0 + 1e-12)
+        lo = np.searchsorted(rv_s, lv - slack, side="left")
+        hi = np.searchsorted(rv_s, lv + slack, side="right")
+        lo = np.maximum(lo, starts)
+        hi = np.minimum(hi, ends)
+        width = np.maximum(hi - lo, 0)
+        # exact predicate on the (small) candidate expansion
+        cand = np.repeat(lo, width) + _ranges_offsets(width)
+        owner = np.repeat(np.arange(lt.num_rows), width)
+        ok = np.abs(lv[owner] - rv_s[cand]) <= delta
+        np.add.at(n, owner[ok], 1)
+        return pa.table({"event_id": lt.column("event_id"), "n": pa.array(n)})
+
+    partial = cogroup_apply(probe, build, "bucket", probe_schema, build_schema, count_part, num_parts=num_parts)
+
+    def merge(t: pa.Table) -> pa.Table:
+        g = t.group_by(["event_id"]).aggregate([("n", "sum")])
+        return pa.table(
+            {"event_id": g.column("event_id"),
+             "n_close": g.column("n_sum").combine_chunks().cast(pa.int64())}
+        )
+
+    return partition_map(partial, ["event_id"], num_parts, merge)
+
+
+def _ranges_offsets(width: np.ndarray) -> np.ndarray:
+    """[0..w0-1, 0..w1-1, ...] for per-row candidate windows."""
+    total = int(width.sum())
+    if total == 0:
+        return np.zeros(0, np.int64)
+    starts = np.cumsum(width) - width
+    return np.arange(total, dtype=np.int64) - np.repeat(starts, width)

@@ -192,3 +192,47 @@ def customer_enrich(
     return customer.map_batches(
         Enrich, batch_format="pyarrow", zero_copy_batch=True, concurrency=concurrency
     )
+
+
+def top_orders_per_customer(
+    orders: ray.data.Dataset, k: int = 3, num_parts: int = 32
+) -> ray.data.Dataset:
+    """Per-group top-k: each customer's ``k`` highest-value orders —
+    (o_custkey, o_orderkey, o_totalprice, rnk), ties broken by
+    o_orderkey ascending so the result is deterministic.
+
+    Top-k per group commutes with union, so the per-BLOCK top-k runs
+    first (≤ k rows per group leave any input block — the combiner
+    trick applied to an order statistic), then ONE hash exchange on
+    o_custkey and the same kernel finalizes.  No global sort; group
+    count bounds reducer input at k·n_blocks rows per group worst case.
+    """
+
+    def local(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {"o_custkey": pa.array([], pa.int64()),
+                 "o_orderkey": pa.array([], pa.int64()),
+                 "o_totalprice": pa.array([], pa.float64()),
+                 "rnk": pa.array([], pa.int64())}
+            )
+        df = (
+            t.select(["o_custkey", "o_orderkey", "o_totalprice"])
+            .to_pandas()
+            .sort_values(
+                ["o_custkey", "o_totalprice", "o_orderkey"],
+                ascending=[True, False, True], kind="mergesort",
+            )
+        )
+        topk = df.groupby("o_custkey", sort=False).head(k).copy()
+        topk["rnk"] = topk.groupby("o_custkey", sort=False).cumcount() + 1
+        out = pa.Table.from_pandas(topk, preserve_index=False)
+        return pa.table(
+            {"o_custkey": out.column("o_custkey"),
+             "o_orderkey": out.column("o_orderkey"),
+             "o_totalprice": out.column("o_totalprice"),
+             "rnk": out.column("rnk").combine_chunks().cast(pa.int64())}
+        )
+
+    pre = orders.map_batches(local, batch_format="pyarrow", zero_copy_batch=True)
+    return partition_map(pre, ["o_custkey"], num_parts, local)

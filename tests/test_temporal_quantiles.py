@@ -1,0 +1,138 @@
+"""AS-OF join, value band join, per-group top-k, and distributed exact
+quantiles: engine results vs in-memory pandas/numpy references on the
+sf0.001 driver tables, plus edge-case unit kernels."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+import ray.data as rd
+
+SF = "/root/testdata/sf0.001"
+
+
+def _read(path, cols):
+    sch = pq.read_schema(path).remove_metadata()
+    sch = pa.schema([sch.field(c) for c in cols])
+    return rd.read_parquet(path, columns=cols, schema=sch)
+
+
+def _events_df():
+    return pq.read_table(f"{SF}/events.parquet").to_pandas()
+
+
+def test_asof_join_matches_pandas():
+    from osm2geojson_ray.stages.events import asof_join
+
+    ev = _read(f"{SF}/events.parquet", ["event_id", "ts", "user_id", "event_type"])
+    got = asof_join(ev, num_parts=8).to_pandas().sort_values("event_id").reset_index(drop=True)
+
+    df = _events_df()
+    left = df[df.event_type == "purchase"][["event_id", "user_id", "ts"]].sort_values("ts")
+    right = (
+        df[df.event_type == "view"][["event_id", "user_id", "ts"]]
+        .rename(columns={"event_id": "matched_event_id", "ts": "matched_ts"})
+        .sort_values("matched_ts")
+    )
+    ref = pd.merge_asof(
+        left, right, left_on="ts", right_on="matched_ts", by="user_id",
+        direction="backward",
+    ).sort_values("event_id").reset_index(drop=True)
+    assert (got.event_id == ref.event_id).all()
+    assert got.matched_ts.isna().sum() == ref.matched_ts.isna().sum() > 0
+    m = got.matched_event_id.notna()
+    assert (got.matched_event_id[m].astype("int64") == ref.matched_event_id[m].astype("int64")).all()
+
+
+def test_band_join_count_matches_bruteforce():
+    from osm2geojson_ray.stages.events import band_join_count
+
+    ev = _read(f"{SF}/events.parquet", ["event_id", "value", "event_type"])
+    got = band_join_count(ev, delta=0.5, num_parts=8).to_pandas().sort_values("event_id").reset_index(drop=True)
+
+    df = _events_df()
+    lv = df[df.event_type == "purchase"].sort_values("event_id")
+    rv = df[df.event_type == "click"]["value"].to_numpy()
+    ref_n = (np.abs(lv["value"].to_numpy()[:, None] - rv[None, :]) <= 0.5).sum(axis=1)
+    assert (got.event_id.to_numpy() == lv.event_id.to_numpy()).all()
+    assert (got.n_close.to_numpy() == ref_n).all()
+
+
+def test_band_join_boundary_exact():
+    """Values exactly delta apart MUST count (the slack+exact-predicate
+    two-step can't round them away)."""
+    from osm2geojson_ray.stages.events import band_join_count
+
+    t = pa.table(
+        {
+            "event_id": pa.array([1, 2, 10, 11, 12], pa.int64()),
+            "value": pa.array([1.0, 2.5, 0.5, 1.5, 3.1], pa.float64()),
+            "event_type": pa.array(["purchase", "purchase", "click", "click", "click"]),
+        }
+    )
+    got = (
+        band_join_count(rd.from_arrow(t), delta=0.5, num_parts=4)
+        .to_pandas().sort_values("event_id").reset_index(drop=True)
+    )
+    # |1.0-0.5|=0.5 ✓, |1.0-1.5|=0.5 ✓; |2.5-3.1|=0.6 ✗ → counts [2, 0]
+    assert got.n_close.tolist() == [2, 0]
+
+
+def test_top_orders_matches_pandas():
+    from osm2geojson_ray.stages.relational import top_orders_per_customer
+
+    orders = _read(f"{SF}/orders.parquet", ["o_custkey", "o_orderkey", "o_totalprice"])
+    got = (
+        top_orders_per_customer(orders, k=3, num_parts=8)
+        .to_pandas().sort_values(["o_custkey", "rnk"]).reset_index(drop=True)
+    )
+
+    df = pq.read_table(f"{SF}/orders.parquet").to_pandas()
+    df = df.sort_values(
+        ["o_custkey", "o_totalprice", "o_orderkey"], ascending=[True, False, True]
+    )
+    ref = df.groupby("o_custkey", sort=False).head(3).copy()
+    ref["rnk"] = ref.groupby("o_custkey", sort=False).cumcount() + 1
+    ref = ref[["o_custkey", "o_orderkey", "o_totalprice", "rnk"]].sort_values(
+        ["o_custkey", "rnk"]
+    ).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, ref, check_dtype=False)
+
+
+def _disc_quantile(v: np.ndarray, q: float) -> float:
+    s = np.sort(v)
+    return float(s[int(np.ceil(q * len(s))) - 1])
+
+
+def test_quantiles_gather_and_hist_paths_agree():
+    from osm2geojson_ray.stages.quantiles import grouped_quantiles
+
+    ev = _read(f"{SF}/events.parquet", ["event_type", "value"])
+    df = _events_df()
+
+    # gather-only path (cap > any group) and forced-histogram path
+    for cap in (10**9, 37):
+        got = grouped_quantiles(
+            ev, "value", "event_type", qs=(0.5, 0.9), gather_cap=cap
+        ).to_pandas()
+        for _, row in got.iterrows():
+            vals = df[df.event_type == row.event_type]["value"].to_numpy()
+            assert row["value"] == _disc_quantile(vals, row["q"]), (
+                row.event_type, row["q"], cap,
+            )
+
+
+def test_quantiles_duplicate_value_skew():
+    """>gather_cap duplicates of one value: the degenerate-interval
+    short-circuit must resolve without a giant gather."""
+    from osm2geojson_ray.stages.quantiles import grouped_quantiles
+
+    v = np.concatenate([np.full(5000, 7.25), np.linspace(0, 1, 100)])
+    rng = np.random.default_rng(7)
+    rng.shuffle(v)
+    t = pa.table({"g": pa.array(["a"] * len(v)), "value": pa.array(v)})
+    got = grouped_quantiles(
+        rd.from_arrow(t), "value", "g", qs=(0.5, 0.99), gather_cap=50, bins=16
+    ).to_pandas()
+    assert got["value"].tolist() == [7.25, 7.25]
