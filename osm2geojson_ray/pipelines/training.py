@@ -227,6 +227,13 @@ def q_quantiles(sf_dir: str):
     return grouped_quantiles(ev, "value", "event_type", gather_cap=256)
 
 
+def q_hll_users(sf_dir: str):
+    from ..stages.sketch import hll_registers
+
+    ev = _read_clean(f"{sf_dir}/events.parquet", columns=["event_type", "user_id"])
+    return hll_registers(ev, "user_id", "event_type")
+
+
 TRAINING_QUERIES = {
     "token_stats": q_token_stats,
     "text_quality": q_quality,
@@ -250,6 +257,7 @@ TRAINING_QUERIES = {
     "band_join": q_band_join,
     "top_orders": q_top_orders,
     "event_quantiles": q_quantiles,
+    "hll_users": q_hll_users,
     # approximate by design, but seeded/deterministic → both oracle-backed
     # (LSH: seeded planes as SQL literals; IVF: sample-trained centroids
     # re-derived by the oracle generator and inlined as SQL literals)
@@ -423,6 +431,18 @@ UNION ALL
 SELECT event_type, CAST(0.9 AS DOUBLE), quantile_disc(value, 0.9) FROM events GROUP BY 1
 UNION ALL
 SELECT event_type, CAST(0.99 AS DOUBLE), quantile_disc(value, 0.99) FROM events GROUP BY 1
+"""
+
+    hll_hash = _MD5INT.format(x="CAST(user_id AS VARCHAR)")
+    sql["hll_users"] = f"""
+WITH h AS (
+  SELECT DISTINCT event_type, {hll_hash} AS hv FROM events),
+r AS (
+  SELECT event_type, hv % 64 AS bucket,
+    CASE WHEN hv // 64 = 0 THEN 55
+         ELSE CAST(log2((hv // 64) & -(hv // 64)) AS BIGINT) + 1 END AS rho
+  FROM h)
+SELECT event_type, bucket, MAX(rho) AS rho_max FROM r GROUP BY 1, 2
 """
 
     sql["dedup_clusters"] = f"""

@@ -136,3 +136,28 @@ def test_quantiles_duplicate_value_skew():
         rd.from_arrow(t), "value", "g", qs=(0.5, 0.99), gather_cap=50, bins=16
     ).to_pandas()
     assert got["value"].tolist() == [7.25, 7.25]
+
+
+def test_hll_registers_and_estimate():
+    """Register table = exact max-rho per bucket (vs a direct per-user
+    computation); estimate within HLL error bounds of the true count."""
+    from osm2geojson_ray.functions.hashing import md5int60
+    from osm2geojson_ray.stages.sketch import N_BUCKETS, hll_estimate, hll_registers
+
+    ev = _read(f"{SF}/events.parquet", ["event_type", "user_id"])
+    got = hll_registers(ev, "user_id", "event_type").to_pandas()
+
+    df = _events_df()
+    for et, grp in df.groupby("event_type"):
+        users = grp.user_id.unique()
+        regs: dict = {}
+        for u in users:
+            h = md5int60(str(u))
+            b, w = h % N_BUCKETS, h // N_BUCKETS
+            rho = 55 if w == 0 else (w & -w).bit_length()
+            regs[b] = max(regs.get(b, 0), rho)
+        sub = got[got.event_type == et]
+        assert dict(zip(sub.bucket, sub.rho_max)) == regs
+        est = hll_estimate(dict(zip(sub.bucket, sub.rho_max)))
+        # 64 buckets → ~13% relative error; allow 3 sigma
+        assert abs(est - len(users)) <= max(3, 0.4 * len(users))
