@@ -205,6 +205,52 @@ def run_queries() -> dict:
             )
         ),
     )
+    timed(
+        "asof_join",
+        lambda: EV.asof_join(
+            _read_clean(
+                f"{SF_DIR}/events.parquet",
+                columns=["event_id", "ts", "user_id", "event_type"],
+            )
+        ),
+    )
+    timed(
+        "band_join",
+        lambda: EV.band_join_count(
+            _read_clean(
+                f"{SF_DIR}/events.parquet",
+                columns=["event_id", "value", "event_type"],
+            )
+        ),
+    )
+
+    from osm2geojson_ray.stages.quantiles import grouped_quantiles
+    from osm2geojson_ray.stages.relational import order_revenue
+    from osm2geojson_ray.stages.sketch import hll_registers
+
+    t0 = time.perf_counter()
+    qt = grouped_quantiles(
+        _read_clean(f"{SF_DIR}/events.parquet", columns=["event_type", "value"]),
+        "value", "event_type", gather_cap=256,
+    )
+    assert qt.num_rows > 0
+    timings["event_quantiles"] = round(time.perf_counter() - t0, 4)
+    timed(
+        "order_revenue",
+        lambda: order_revenue(
+            _read_clean(
+                f"{SF_DIR}/lineitem.parquet",
+                columns=["l_orderkey", "l_extendedprice", "l_discount"],
+            )
+        ),
+    )
+    timed(
+        "hll_users",
+        lambda: hll_registers(
+            _read_clean(f"{SF_DIR}/events.parquet", columns=["event_type", "user_id"]),
+            "user_id", "event_type",
+        ),
+    )
     return timings
 
 
