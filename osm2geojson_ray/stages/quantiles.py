@@ -66,6 +66,17 @@ def _inside(v: np.ndarray, lo: float, hi: float, closed: bool) -> np.ndarray:
     return (v >= lo) & ((v <= hi) if closed else (v < hi))
 
 
+def _group_codes(t: pa.Table, group_col: str):
+    """(int32 codes, {group_value: code}) for a batch — group masks then
+    cost one vectorized int compare instead of Python-object equality
+    over a string column (the naive ``np_strings == g`` is ~100× slower
+    on 1M-row batches)."""
+    enc = t.column(group_col).combine_chunks().dictionary_encode()
+    codes = np.asarray(enc.indices)
+    mapping = {v: i for i, v in enumerate(enc.dictionary.to_pylist())}
+    return codes, mapping
+
+
 def grouped_quantiles(
     ds: ray.data.Dataset,
     value_col: str,
@@ -170,11 +181,11 @@ def grouped_quantiles(
                 self.spec = ray.get(spec_ref)
 
             def __call__(self, t: pa.Table) -> pa.Table:
-                gv = t.column(group_col).to_numpy(zero_copy_only=False)
+                codes, code_of = _group_codes(t, group_col)
                 vv = np.asarray(t.column(value_col))
                 tid, nb, cnts = [], [], []
                 for i, g, edges, closed, pair in self.spec:
-                    v = vv[gv == g]
+                    v = vv[codes == code_of.get(g, -1)]
                     lo, hi = float(edges[0]), float(edges[-1])
                     inn = v[_inside(v, lo, hi, closed)]
                     if pair:
@@ -247,11 +258,11 @@ def grouped_quantiles(
                 self.spec = ray.get(rem_ref)
 
             def __call__(self, t: pa.Table) -> pa.Table:
-                gv = t.column(group_col).to_numpy(zero_copy_only=False)
+                codes, code_of = _group_codes(t, group_col)
                 vv = np.asarray(t.column(value_col))
                 tid, val, isc = [], [], []
                 for i, g, lo, hi, closed in self.spec:
-                    v = vv[gv == g]
+                    v = vv[codes == code_of.get(g, -1)]
                     picked = v[_inside(v, lo, hi, closed)]
                     tid.append(np.full(len(picked) + 1, i, np.int64))
                     val.append(

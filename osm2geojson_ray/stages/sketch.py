@@ -58,7 +58,6 @@ def hll_registers(
     sketch maxes make cross-batch duplicates free)."""
 
     def local(t: pa.Table) -> pa.Table:
-        gv = t.column(group_col).to_numpy(zero_copy_only=False)
         kv = t.column(key_col).to_numpy(zero_copy_only=False)
         # hash each distinct key once per batch
         uk, inv = np.unique(kv, return_inverse=True)
@@ -67,7 +66,7 @@ def hll_registers(
         rho = _rho(hv // N_BUCKETS)
         tb = pa.table(
             {
-                group_col: pa.array(gv),
+                group_col: t.column(group_col).combine_chunks(),
                 "bucket": pa.array(bucket),
                 "rho": pa.array(rho),
             }
