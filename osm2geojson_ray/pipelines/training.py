@@ -147,12 +147,7 @@ def q_lineitem_agg(sf_dir: str):
     return EV.lineitem_pricing_summary(li)
 
 
-def q_media_features(sf_dir: str):
-    from .. import synth
-    from ..sources.documents import read_documents
-
-    corpus = synth.ensure_corpus_for_sf(sf_dir)
-    out = media_features(read_documents(corpus))
+def _span_idx_i64(out):
     return out.map_batches(
         lambda t: t.set_column(
             t.schema.get_field_index("span_idx"),
@@ -161,6 +156,23 @@ def q_media_features(sf_dir: str):
         ),
         batch_format="pyarrow",
     )
+
+
+def q_media_features(sf_dir: str):
+    from .. import synth
+    from ..sources.documents import read_documents
+
+    corpus = synth.ensure_corpus_for_sf(sf_dir)
+    return _span_idx_i64(media_features(read_documents(corpus)))
+
+
+def q_media_frames(sf_dir: str):
+    from .. import synth
+    from ..sources.documents import read_documents
+    from ..stages.multimodal import media_frames
+
+    corpus = synth.ensure_corpus_for_sf(sf_dir)
+    return _span_idx_i64(media_frames(read_documents(corpus)))
 
 
 def q_orders_topn(sf_dir: str):
@@ -258,6 +270,7 @@ TRAINING_QUERIES = {
     "top_orders": q_top_orders,
     "event_quantiles": q_quantiles,
     "hll_users": q_hll_users,
+    "media_frames": q_media_frames,
     # approximate by design, but seeded/deterministic → both oracle-backed
     # (LSH: seeded planes as SQL literals; IVF: sample-trained centroids
     # re-derived by the oracle generator and inlined as SQL literals)
@@ -665,6 +678,32 @@ SELECT doc_id, CAST(span_idx AS BIGINT) AS span_idx, media_ref,
        CAST(64 + ({h} // 1024) % 1024 AS BIGINT) AS height,
        CAST(1 + ({h} // 1048576) % 16 AS BIGINT) AS n_frames
 FROM sp WHERE kind = 'media'
+"""
+
+    sql["media_frames"] = f"""
+WITH raw AS (SELECT doc_id, spans FROM read_parquet('{corpus}/*.parquet')),
+sp AS (
+  SELECT doc_id, generate_subscripts(spans, 1) - 1 AS span_idx,
+         unnest(spans, recursive := true)
+  FROM raw
+),
+dec AS (
+  SELECT doc_id, CAST(span_idx AS BIGINT) AS span_idx, media_ref,
+         CAST(64 + {h} % 1024 AS BIGINT) AS width,
+         CAST(64 + ({h} // 1024) % 1024 AS BIGINT) AS height,
+         CAST(1 + ({h} // 1048576) % 16 AS BIGINT) AS n_frames
+  FROM sp WHERE kind = 'media'
+),
+rs AS (
+  SELECT *,
+         GREATEST(1, (width * 224) // GREATEST(width, height)) AS out_width,
+         GREATEST(1, (height * 224) // GREATEST(width, height)) AS out_height
+  FROM dec
+)
+SELECT doc_id, span_idx, media_ref, width, height, n_frames,
+       out_width, out_height,
+       CAST(CASE WHEN n_frames >= 4 THEN (i * n_frames) // 4 ELSE i END AS BIGINT) AS frame_idx
+FROM rs, unnest(range(CAST(LEAST(n_frames, 4) AS BIGINT))) AS t(i)
 """
 
     return sql

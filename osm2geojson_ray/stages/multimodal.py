@@ -95,3 +95,59 @@ def media_features(documents: ray.data.Dataset, concurrency=(1, 4)) -> ray.data.
     """The full media pipeline: span extraction → actor-pool decode."""
     spans = extract_media_spans(documents)
     return spans.map_batches(MediaDecodeStub, batch_format="pyarrow", concurrency=concurrency)
+
+
+TARGET_EDGE = 224  # longest-side resize target (ViT-style preprocessing)
+FRAMES_PER_CLIP = 4
+
+
+def resize_plan(decoded: ray.data.Dataset) -> ray.data.Dataset:
+    """Decoded media → aspect-preserving resize plan (longest side →
+    ``TARGET_EDGE``), pure integer arithmetic so the plan is bit-stable
+    vs SQL.  A REAL resize is this same chained stage with the pixel
+    buffer flowing through and an actor pool holding the codec; the
+    stub keeps the plumbing (schema, chaining, vectorization) and
+    computes only the geometry."""
+    import numpy as np
+
+    def f(t: pa.Table) -> pa.Table:
+        w = np.asarray(t.column("width"), dtype=np.int64)
+        h = np.asarray(t.column("height"), dtype=np.int64)
+        long_side = np.maximum(w, h)
+        out_w = np.maximum(1, (w * TARGET_EDGE) // long_side)
+        out_h = np.maximum(1, (h * TARGET_EDGE) // long_side)
+        return t.append_column("out_width", pa.array(out_w)).append_column(
+            "out_height", pa.array(out_h)
+        )
+
+    return decoded.map_batches(f, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def sample_frames(
+    decoded: ray.data.Dataset, k: int = FRAMES_PER_CLIP
+) -> ray.data.Dataset:
+    """Uniform frame sampling: per media span with ``n_frames`` frames,
+    emit min(k, n_frames) rows with ``frame_idx`` = floor(i·n/k) (all
+    frames when the clip is shorter than k).  Row explosion is
+    vectorized repeat+offsets — the same flatten shape as span
+    extraction, no per-row loop."""
+    import numpy as np
+
+    def f(t: pa.Table) -> pa.Table:
+        n = np.asarray(t.column("n_frames"), dtype=np.int64)
+        counts = np.minimum(n, k)
+        row = np.repeat(np.arange(len(n), dtype=np.int64), counts)
+        starts = np.cumsum(counts) - counts
+        i = np.arange(int(counts.sum()), dtype=np.int64) - np.repeat(starts, counts)
+        nf = n[row]
+        frame_idx = np.where(nf >= k, (i * nf) // k, i)
+        out = t.take(pa.array(row))
+        return out.append_column("frame_idx", pa.array(frame_idx))
+
+    return decoded.map_batches(f, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def media_frames(documents: ray.data.Dataset, concurrency=(1, 4)) -> ray.data.Dataset:
+    """Full media chain: span extraction → actor-pool decode → resize
+    plan → uniform frame sample; one row per sampled frame."""
+    return sample_frames(resize_plan(media_features(documents, concurrency=concurrency)))

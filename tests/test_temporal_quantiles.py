@@ -161,3 +161,28 @@ def test_hll_registers_and_estimate():
         est = hll_estimate(dict(zip(sub.bucket, sub.rho_max)))
         # 64 buckets → ~13% relative error; allow 3 sigma
         assert abs(est - len(users)) <= max(3, 0.4 * len(users))
+
+
+def test_media_resize_and_frame_sample():
+    """Resize preserves aspect (longest side → 224, integer floor);
+    frame sampling emits min(k, n) uniformly-spaced indices."""
+    from osm2geojson_ray.stages.multimodal import resize_plan, sample_frames
+
+    t = pa.table(
+        {
+            "media_ref": pa.array(["a", "b", "c"]),
+            "width": pa.array([1024, 100, 224], pa.int64()),
+            "height": pa.array([512, 300, 224], pa.int64()),
+            "n_frames": pa.array([10, 2, 4], pa.int64()),
+        }
+    )
+    out = sample_frames(resize_plan(rd.from_arrow(t)), k=4).to_pandas()
+    a = out[out.media_ref == "a"]
+    assert (a.out_width == 224).all() and (a.out_height == 112).all()
+    assert a.frame_idx.tolist() == [0, 2, 5, 7]  # floor(i*10/4)
+    b = out[out.media_ref == "b"]
+    assert (b.out_width == 74).all() and (b.out_height == 224).all()
+    assert b.frame_idx.tolist() == [0, 1]  # clip shorter than k → all frames
+    c = out[out.media_ref == "c"]
+    assert (c.out_width == 224).all() and (c.out_height == 224).all()
+    assert c.frame_idx.tolist() == [0, 1, 2, 3]
