@@ -207,8 +207,12 @@ def join_on_unique(
     """Join ``many`` with ``unique`` (unique per ``key``) on ``key``.
 
     ``how='inner'`` drops many-rows without a match (reference inner-join
-    semantics); ``how='left'`` keeps them with nulls.  Schemas must be
-    passed explicitly (lazy datasets; avoids a blocking schema() call).
+    semantics); ``how='left'`` keeps them with nulls; ``how='semi'`` /
+    ``how='anti'`` keep exactly the matched / unmatched many-rows with NO
+    unique-side payload (existence filters — the unique side should carry
+    only the key so nothing but key bytes moves through the exchange).
+    Schemas must be passed explicitly (lazy datasets; avoids a blocking
+    schema() call).
     ``on_duplicate``: see ``_unique_order`` ('error' fails loudly on a
     duplicated unique-side key; 'first' keeps a deterministic winner).
     """
@@ -241,7 +245,12 @@ def join_on_unique(
             matched = np.zeros(len(mk), dtype=bool)
         else:
             matched = uk_sorted[ri_clamped] == mk
-        if how == "inner":
+        if how in ("semi", "anti"):
+            m_keep = mt.filter(pa.array(matched if how == "semi" else ~matched))
+            cols = {key: m_keep.column(key)}
+            for nme in many_names:
+                cols[nme] = m_keep.column(nme)
+        elif how == "inner":
             m_keep = mt.filter(pa.array(matched))
             u_take = ut.take(pa.array(order[ri_clamped[matched]]))
             cols = {key: m_keep.column(key)}

@@ -207,6 +207,14 @@ def q_dedup_clusters(sf_dir: str):
     return D.dedup_clusters(_docs_cols(sf_dir, ["doc_id", "text"]))
 
 
+def q_orders_no_lineitems(sf_dir: str):
+    orders = _read_clean(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_orderstatus"]
+    )
+    li = _read_clean(f"{sf_dir}/lineitem.parquet", columns=["l_orderkey"])
+    return R.orders_without_lineitems(orders, li)
+
+
 def q_asof_join(sf_dir: str):
     ev = _read_clean(
         f"{sf_dir}/events.parquet",
@@ -271,6 +279,7 @@ TRAINING_QUERIES = {
     "event_quantiles": q_quantiles,
     "hll_users": q_hll_users,
     "media_frames": q_media_frames,
+    "orders_no_lineitems": q_orders_no_lineitems,
     # approximate by design, but seeded/deterministic → both oracle-backed
     # (LSH: seeded planes as SQL literals; IVF: sample-trained centroids
     # re-derived by the oracle generator and inlined as SQL literals)
@@ -444,6 +453,11 @@ UNION ALL
 SELECT event_type, CAST(0.9 AS DOUBLE), quantile_disc(value, 0.9) FROM events GROUP BY 1
 UNION ALL
 SELECT event_type, CAST(0.99 AS DOUBLE), quantile_disc(value, 0.99) FROM events GROUP BY 1
+"""
+
+    sql["orders_no_lineitems"] = """
+SELECT o_orderkey, o_orderstatus FROM orders
+WHERE NOT EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey)
 """
 
     hll_hash = _MD5INT.format(x="CAST(user_id AS VARCHAR)")

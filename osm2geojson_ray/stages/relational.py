@@ -236,3 +236,29 @@ def top_orders_per_customer(
 
     pre = orders.map_batches(local, batch_format="pyarrow", zero_copy_batch=True)
     return partition_map(pre, ["o_custkey"], num_parts, local)
+
+
+def orders_without_lineitems(
+    orders: ray.data.Dataset, lineitem: ray.data.Dataset, num_parts: int = 32
+) -> ray.data.Dataset:
+    """ANTI join: orders with no lineitem rows — (o_orderkey,
+    o_orderstatus).
+
+    The build side is keys-only (l_orderkey), pre-deduped per block with
+    a zero-exchange combiner: existence filters don't need a global
+    distinct, duplicates across blocks are resolved by the join's
+    deterministic ``on_duplicate='first'`` (payload-free, so the winner
+    is irrelevant).  One hash exchange total, key bytes only on the
+    build side."""
+
+    def key_combiner(t: pa.Table) -> pa.Table:
+        k = np.unique(np.asarray(t.column("l_orderkey")))
+        return pa.table({"o_orderkey": pa.array(k, pa.int64())})
+
+    keys = lineitem.map_batches(key_combiner, batch_format="pyarrow", zero_copy_batch=True)
+    return join_on_unique(
+        orders, keys, "o_orderkey",
+        pa.schema([("o_orderkey", pa.int64()), ("o_orderstatus", pa.string())]),
+        pa.schema([("o_orderkey", pa.int64())]),
+        how="anti", num_parts=num_parts, on_duplicate="first",
+    )

@@ -156,3 +156,35 @@ def test_dedup_clusters_chain_converges():
     got = dedup_clusters(docs, num_parts=4).to_pandas()
     lab = dict(zip(got.doc_id, got.cluster_id))
     assert lab == ref
+
+
+def test_semi_anti_join_modes():
+    from osm2geojson_ray.functions.joins import join_on_unique
+
+    many = rd.from_arrow(
+        pa.table({"k": pa.array([1, 2, 3, 4], pa.int64()),
+                  "v": pa.array(["a", "b", "c", "d"])})
+    )
+    uniq = rd.from_arrow(pa.table({"k": pa.array([2, 4, 4], pa.int64())}))
+    ms = pa.schema([("k", pa.int64()), ("v", pa.string())])
+    us = pa.schema([("k", pa.int64())])
+    semi = join_on_unique(many, uniq, "k", ms, us, how="semi",
+                          num_parts=4, on_duplicate="first").to_pandas()
+    anti = join_on_unique(many, uniq, "k", ms, us, how="anti",
+                          num_parts=4, on_duplicate="first").to_pandas()
+    assert sorted(semi.k) == [2, 4] and sorted(anti.k) == [1, 3]
+    assert list(semi.columns) == ["k", "v"] == list(anti.columns)
+
+
+def test_orders_without_lineitems():
+    from osm2geojson_ray.stages.relational import orders_without_lineitems
+
+    orders = _read(f"{SF}/orders.parquet", ["o_orderkey", "o_orderstatus"])
+    li = _read(f"{SF}/lineitem.parquet", ["l_orderkey"])
+    got = orders_without_lineitems(orders, li, num_parts=8).to_pandas()
+
+    odf = pq.read_table(f"{SF}/orders.parquet").to_pandas()
+    lset = set(pq.read_table(f"{SF}/lineitem.parquet").to_pandas().l_orderkey)
+    ref = odf[~odf.o_orderkey.isin(lset)]
+    assert sorted(got.o_orderkey) == sorted(ref.o_orderkey)
+    assert len(got) > 0
