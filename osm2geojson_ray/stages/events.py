@@ -275,3 +275,194 @@ def _ranges_offsets(width: np.ndarray) -> np.ndarray:
         return np.zeros(0, np.int64)
     starts = np.cumsum(width) - width
     return np.arange(total, dtype=np.int64) - np.repeat(starts, width)
+
+
+def asof_join_salted(
+    events: ray.data.Dataset,
+    left_type: str = "purchase",
+    right_type: str = "view",
+    bucket_hours: int = 24,
+    num_parts: int = 32,
+) -> ray.data.Dataset:
+    """Exact backward AS-OF join partitioned by (user, time-bucket) —
+    the mega-user path: a single user's history no longer needs to fit
+    one partition (``asof_join`` keys on user alone).
+
+    Exactness across bucket boundaries via a CARRY table: the latest
+    right event of each (user, right-bucket) is a per-BLOCK combiner
+    output (tiny — ~one row per user per active bucket), exchanged once
+    by user; inside that partition every left bucket b looks up the
+    greatest right-bucket < b (bucket order = time order, so its last
+    event IS the latest predecessor — one searchsorted, no prefix
+    scan) and emits a carry row addressed to (user, b).  Phase two
+    co-groups lefts, in-bucket rights, and carries on (user, bucket)
+    and runs the same vectorized ``merge_asof``.  Full-data exchanges:
+    exactly one (phase two); the carry side-channel moves aggregate
+    rows only.  Parity with ``asof_join`` is test-pinned.
+    """
+    from ..functions.joins import SIDE_COL, _align, split_sides
+
+    width_us = np.int64(bucket_hours) * 3_600_000_000
+
+    def side(tp: str, names: list[str]):
+        def _f(t: pa.Table) -> pa.Table:
+            keep = pc.equal(t.column("event_type"), tp)
+            t = t.filter(keep).select(["event_id", "user_id", "ts"]).rename_columns(names)
+            ts_us = t.column(names[2]).combine_chunks().cast(pa.int64())
+            b = pc.divide(ts_us, pa.scalar(width_us, pa.int64()))
+            return t.append_column("bucket", b)
+
+        return _f
+
+    left = events.map_batches(
+        side(left_type, ["event_id", "user_id", "ts"]),
+        batch_format="pyarrow", zero_copy_batch=True,
+    )
+    right = events.map_batches(
+        side(right_type, ["matched_event_id", "user_id", "matched_ts"]),
+        batch_format="pyarrow", zero_copy_batch=True,
+    )
+
+    # --- carry side-channel (aggregate-sized) ---------------------------
+    def left_buckets(t: pa.Table) -> pa.Table:
+        u = np.asarray(t.column("user_id"))
+        b = np.asarray(t.column("bucket"))
+        uniq = np.unique(np.stack([u, b], axis=1), axis=0)
+        return pa.table(
+            {"user_id": pa.array(uniq[:, 0]), "bucket": pa.array(uniq[:, 1]),
+             "is_left": pa.array(np.ones(len(uniq), np.int8))}
+        )
+
+    def right_last(t: pa.Table) -> pa.Table:
+        u = np.asarray(t.column("user_id"))
+        b = np.asarray(t.column("bucket"))
+        ts = np.asarray(t.column("matched_ts").combine_chunks().cast(pa.int64()))
+        order = np.lexsort((ts, b, u))
+        u_s, b_s = u[order], b[order]
+        last = np.nonzero(
+            np.concatenate([(u_s[1:] != u_s[:-1]) | (b_s[1:] != b_s[:-1]), [True]])
+        )[0]
+        keep = t.take(pa.array(order[last]))
+        return pa.table(
+            {"user_id": keep.column("user_id"), "bucket": keep.column("bucket"),
+             "is_left": pa.array(np.zeros(len(last), np.int8)),
+             "matched_event_id": keep.column("matched_event_id"),
+             "matched_ts": keep.column("matched_ts")}
+        )
+
+    carry_schema = pa.schema(
+        [("user_id", pa.int64()), ("bucket", pa.int64()), ("is_left", pa.int8()),
+         ("matched_event_id", pa.int64()), ("matched_ts", pa.timestamp("us"))]
+    )
+    lb = left.map_batches(left_buckets, batch_format="pyarrow", zero_copy_batch=True).map_batches(
+        lambda t: _align(t, carry_schema), batch_format="pyarrow", zero_copy_batch=True
+    )
+    rl = right.map_batches(right_last, batch_format="pyarrow", zero_copy_batch=True).map_batches(
+        lambda t: _align(t, carry_schema), batch_format="pyarrow", zero_copy_batch=True
+    )
+
+    def make_carries(t: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {"matched_event_id": pa.array([], pa.int64()),
+             "user_id": pa.array([], pa.int64()),
+             "matched_ts": pa.array([], pa.timestamp("us")),
+             "bucket": pa.array([], pa.int64())}
+        )
+        if t.num_rows == 0:
+            return empty
+        is_left = np.asarray(t.column("is_left")) == 1
+        lt = t.filter(pa.array(is_left))
+        rt = t.filter(pa.array(~is_left))
+        if lt.num_rows == 0 or rt.num_rows == 0:
+            return empty
+        # rights: possibly several per-block last-rows per (user,bucket);
+        # reduce to the true last, sorted by (user, bucket)
+        ru = np.asarray(rt.column("user_id"))
+        rb = np.asarray(rt.column("bucket"))
+        rts = np.asarray(rt.column("matched_ts").combine_chunks().cast(pa.int64()))
+        order = np.lexsort((rts, rb, ru))
+        ru_s, rb_s = ru[order], rb[order]
+        last = np.nonzero(
+            np.concatenate([(ru_s[1:] != ru_s[:-1]) | (rb_s[1:] != rb_s[:-1]), [True]])
+        )[0]
+        rt = rt.take(pa.array(order[last]))
+        ru, rb = ru_s[last], rb_s[last]
+        # lefts: for each (user, bucket) find greatest right-bucket < bucket
+        lu = np.asarray(lt.column("user_id"))
+        lbk = np.asarray(lt.column("bucket"))
+        # composite searchsorted via complex trick is fragile; use per-user
+        # offsets (rights sorted by user then bucket)
+        u_starts = np.searchsorted(ru, lu, side="left")
+        u_ends = np.searchsorted(ru, lu, side="right")
+        # within the user's right rows, find insertion of left bucket
+        idx = np.empty(len(lu), np.int64)
+        for i in range(len(lu)):  # bounded: one iteration per DISTINCT
+            # (user, left-bucket) pair in this partition — aggregate rows,
+            # not events
+            j = np.searchsorted(rb[u_starts[i]:u_ends[i]], lbk[i], side="left")
+            idx[i] = u_starts[i] + j - 1 if j > 0 else -1
+        ok = idx >= 0
+        picked = rt.take(pa.array(idx[ok]))
+        return pa.table(
+            {"matched_event_id": picked.column("matched_event_id"),
+             "user_id": picked.column("user_id"),
+             "matched_ts": picked.column("matched_ts"),
+             "bucket": pa.array(lbk[ok])}
+        )
+
+    carries = partition_map(lb.union(rl), ["user_id"], num_parts, make_carries)
+
+    # --- phase two: one full-data exchange on (user, bucket) ------------
+    left_schema = pa.schema(
+        [("event_id", pa.int64()), ("user_id", pa.int64()),
+         ("ts", pa.timestamp("us")), ("bucket", pa.int64())]
+    )
+    right_schema = pa.schema(
+        [("matched_event_id", pa.int64()), ("user_id", pa.int64()),
+         ("matched_ts", pa.timestamp("us")), ("bucket", pa.int64())]
+    )
+    full = pa.schema(
+        [("event_id", pa.int64()), ("user_id", pa.int64()),
+         ("ts", pa.timestamp("us")), ("bucket", pa.int64()),
+         ("matched_event_id", pa.int64()), ("matched_ts", pa.timestamp("us")),
+         (SIDE_COL, pa.int8())]
+    )
+
+    def tag(side_val: int):
+        def _f(t: pa.Table) -> pa.Table:
+            t = t.append_column(SIDE_COL, pa.array(np.full(t.num_rows, side_val, np.int8)))
+            return _align(t, full)
+
+        return _f
+
+    unioned = (
+        left.map_batches(tag(0), batch_format="pyarrow", zero_copy_batch=True)
+        .union(right.map_batches(tag(1), batch_format="pyarrow", zero_copy_batch=True))
+        .union(carries.map_batches(tag(1), batch_format="pyarrow", zero_copy_batch=True))
+    )
+
+    def match(t: pa.Table) -> pa.Table:
+        lt, rt = split_sides(t)
+        out_cols = ["event_id", "user_id", "ts", "matched_event_id", "matched_ts"]
+        if lt.num_rows == 0:
+            return pa.table(
+                {"event_id": pa.array([], pa.int64()),
+                 "user_id": pa.array([], pa.int64()),
+                 "ts": pa.array([], pa.timestamp("us")),
+                 "matched_event_id": pa.array([], pa.int64()),
+                 "matched_ts": pa.array([], pa.timestamp("us"))}
+            )
+        ld = lt.select(["event_id", "user_id", "ts", "bucket"]).to_pandas().sort_values(
+            "ts", kind="mergesort"
+        )
+        rd = rt.select(
+            ["matched_event_id", "user_id", "matched_ts", "bucket"]
+        ).to_pandas().sort_values("matched_ts", kind="mergesort")
+        m = pd.merge_asof(
+            ld, rd, left_on="ts", right_on="matched_ts", by="user_id",
+            direction="backward", allow_exact_matches=True,
+        )
+        m["matched_event_id"] = m["matched_event_id"].astype("Int64")
+        return from_pandas_clean(m[out_cols])
+
+    return partition_map(unioned, ["user_id", "bucket"], num_parts, match)

@@ -186,3 +186,42 @@ def test_media_resize_and_frame_sample():
     c = out[out.media_ref == "c"]
     assert (c.out_width == 224).all() and (c.out_height == 224).all()
     assert c.frame_idx.tolist() == [0, 1, 2, 3]
+
+
+def test_asof_salted_parity_and_carry():
+    """Time-bucket-salted as-of == unsalted on real data; cross-bucket
+    carries resolve a mega-user whose matches live many empty buckets
+    back."""
+    from osm2geojson_ray.stages.events import asof_join, asof_join_salted
+
+    ev = _read(f"{SF}/events.parquet", ["event_id", "ts", "user_id", "event_type"])
+    a = asof_join(ev, num_parts=8).to_pandas().sort_values("event_id").reset_index(drop=True)
+    b = (
+        asof_join_salted(ev, bucket_hours=6, num_parts=8)
+        .to_pandas().sort_values("event_id").reset_index(drop=True)
+    )
+    a["matched_event_id"] = a["matched_event_id"].astype("float64")
+    b["matched_event_id"] = b["matched_event_id"].astype("float64")
+    pd.testing.assert_frame_equal(a, b)
+
+    ts = pa.array(
+        (np.array([1, 2, 50, 100, 170, 171], dtype="int64") * 3_600_000_000)
+        .view("datetime64[us]"),
+        pa.timestamp("us"),
+    )
+    t = pa.table(
+        {
+            "event_id": pa.array([10, 11, 20, 21, 22, 23], pa.int64()),
+            "ts": ts,
+            "user_id": pa.array([7] * 6, pa.int64()),
+            "event_type": pa.array(
+                ["view", "view", "purchase", "purchase", "view", "purchase"]
+            ),
+        }
+    )
+    got = (
+        asof_join_salted(rd.from_arrow(t), bucket_hours=24, num_parts=4)
+        .to_pandas().sort_values("event_id")
+    )
+    # purchases at h50/h100 carry back to the h2 view; h171 sees the h170 view
+    assert got.matched_event_id.tolist() == [11, 11, 22]
