@@ -207,6 +207,10 @@ def q_dedup_clusters(sf_dir: str):
     return D.dedup_clusters(_docs_cols(sf_dir, ["doc_id", "text"]))
 
 
+def q_docs_above_median(sf_dir: str):
+    return T.filter_above_median_tokens(_docs_cols(sf_dir, ["doc_id", "text"]))
+
+
 def q_orders_no_lineitems(sf_dir: str):
     orders = _read_clean(
         f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_orderstatus"]
@@ -280,6 +284,7 @@ TRAINING_QUERIES = {
     "hll_users": q_hll_users,
     "media_frames": q_media_frames,
     "orders_no_lineitems": q_orders_no_lineitems,
+    "docs_above_median": q_docs_above_median,
     # approximate by design, but seeded/deterministic → both oracle-backed
     # (LSH: seeded planes as SQL literals; IVF: sample-trained centroids
     # re-derived by the oracle generator and inlined as SQL literals)
@@ -453,6 +458,12 @@ UNION ALL
 SELECT event_type, CAST(0.9 AS DOUBLE), quantile_disc(value, 0.9) FROM events GROUP BY 1
 UNION ALL
 SELECT event_type, CAST(0.99 AS DOUBLE), quantile_disc(value, 0.99) FROM events GROUP BY 1
+"""
+
+    sql["docs_above_median"] = f"""
+WITH toks AS (SELECT doc_id, CAST({_NTOK} AS BIGINT) AS n_tokens FROM documents),
+m AS (SELECT quantile_disc(n_tokens, 0.5) AS med FROM toks)
+SELECT doc_id, n_tokens FROM toks, m WHERE n_tokens > med
 """
 
     sql["orders_no_lineitems"] = """

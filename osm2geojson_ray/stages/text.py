@@ -160,3 +160,32 @@ def fingerprint(docs: ray.data.Dataset) -> ray.data.Dataset:
 
 def simhash(docs: ray.data.Dataset) -> ray.data.Dataset:
     return docs.map_batches(simhash_batch, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def filter_above_median_tokens(docs: ray.data.Dataset) -> ray.data.Dataset:
+    """Statistic-driven pruning — the training-data quality-filter
+    pattern: docs whose token count exceeds the global median →
+    (doc_id, n_tokens).
+
+    The threshold is computed by the distributed exact-quantile
+    operator (one constant group; no sort of the corpus), then applied
+    as a broadcast scalar inside the filter ``map_batches`` — two cheap
+    stat passes + one filtering pass, zero data shuffles."""
+    from .quantiles import grouped_quantiles
+
+    stats = token_stats(docs).map_batches(
+        lambda t: pa.table(
+            {"g": pa.array(np.zeros(t.num_rows, np.int8)),
+             "doc_id": t.column("doc_id"),
+             "n_tokens": t.column("n_tokens")}
+        ),
+        batch_format="pyarrow", zero_copy_batch=True,
+    )
+    med = float(grouped_quantiles(stats, "n_tokens", "g", qs=(0.5,)).column("value")[0].as_py())
+
+    def keep(t: pa.Table) -> pa.Table:
+        mask = pc.greater(t.column("n_tokens").combine_chunks().cast(pa.float64()), med)
+        out = t.filter(mask)
+        return pa.table({"doc_id": out.column("doc_id"), "n_tokens": out.column("n_tokens")})
+
+    return stats.map_batches(keep, batch_format="pyarrow", zero_copy_batch=True)
