@@ -211,6 +211,10 @@ def q_docs_above_median(sf_dir: str):
     return T.filter_above_median_tokens(_docs_cols(sf_dir, ["doc_id", "text"]))
 
 
+def q_vocab_topk(sf_dir: str):
+    return T.vocab_topk(_docs_cols(sf_dir, ["doc_id", "text"]))
+
+
 def q_orders_no_lineitems(sf_dir: str):
     orders = _read_clean(
         f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_orderstatus"]
@@ -285,6 +289,7 @@ TRAINING_QUERIES = {
     "media_frames": q_media_frames,
     "orders_no_lineitems": q_orders_no_lineitems,
     "docs_above_median": q_docs_above_median,
+    "vocab_topk": q_vocab_topk,
     # approximate by design, but seeded/deterministic → both oracle-backed
     # (LSH: seeded planes as SQL literals; IVF: sample-trained centroids
     # re-derived by the oracle generator and inlined as SQL literals)
@@ -458,6 +463,12 @@ UNION ALL
 SELECT event_type, CAST(0.9 AS DOUBLE), quantile_disc(value, 0.9) FROM events GROUP BY 1
 UNION ALL
 SELECT event_type, CAST(0.99 AS DOUBLE), quantile_disc(value, 0.99) FROM events GROUP BY 1
+"""
+
+    sql["vocab_topk"] = f"""
+WITH toks AS (SELECT unnest({_TOKS}) AS token FROM documents),
+c AS (SELECT token, CAST(count(*) AS BIGINT) AS n FROM toks GROUP BY 1)
+SELECT token, n FROM c ORDER BY n DESC, token LIMIT 100
 """
 
     sql["docs_above_median"] = f"""

@@ -14,6 +14,7 @@ import pyarrow.compute as pc
 import ray.data
 
 from ..functions import hashing as H
+from ..functions.grouping import partition_map
 
 # language-ID marker sets: deterministic argmax with first-match priority.
 # (A real n-gram model would go here; markers keep the heuristic exactly
@@ -189,3 +190,55 @@ def filter_above_median_tokens(docs: ray.data.Dataset) -> ray.data.Dataset:
         return pa.table({"doc_id": out.column("doc_id"), "n_tokens": out.column("n_tokens")})
 
     return stats.map_batches(keep, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def vocab_topk(docs: ray.data.Dataset, k: int = 100, num_parts: int = 32) -> ray.data.Dataset:
+    """Global token vocabulary, top-``k`` by frequency → (token, n),
+    ties broken by token ascending (deterministic).
+
+    The wordcount shape: per-batch token counts via Arrow split +
+    dictionary-encode + bincount (a combiner — at most the batch's
+    distinct-token count leaves any block), ONE hash exchange on token
+    merges counts, then per-block top-k → single-block final merge
+    (never a global sort).  Vocabulary skew is inherently bounded by
+    the combiner: a stop-word's rows collapse to one partial per block.
+    """
+
+    def local_counts(t: pa.Table) -> pa.Table:
+        split = pc.split_pattern(t.column("text").combine_chunks(), " ")
+        flat = split.flatten().dictionary_encode()
+        if len(flat) == 0:
+            return pa.table(
+                {"token": pa.array([], pa.string()), "n": pa.array([], pa.int64())}
+            )
+        codes = np.asarray(flat.indices, dtype=np.int64)
+        counts = np.bincount(codes, minlength=len(flat.dictionary))
+        return pa.table(
+            {"token": flat.dictionary, "n": pa.array(counts.astype(np.int64))}
+        )
+
+    def merge_counts(t: pa.Table) -> pa.Table:
+        g = t.group_by(["token"]).aggregate([("n", "sum")])
+        return pa.table(
+            {"token": g.column("token"),
+             "n": g.column("n_sum").combine_chunks().cast(pa.int64())}
+        )
+
+    def local_topk(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {"token": pa.array([], pa.string()), "n": pa.array([], pa.int64())}
+            )
+        n = np.asarray(t.column("n"))
+        tok = np.asarray(t.column("token").combine_chunks().to_pandas(), dtype=object)
+        order = np.lexsort((tok, -n))[:k]
+        out = t.take(pa.array(order))
+        return pa.table({"token": out.column("token"), "n": out.column("n")})
+
+    pre = docs.map_batches(local_counts, batch_format="pyarrow", zero_copy_batch=True)
+    merged = partition_map(pre, ["token"], num_parts, merge_counts)
+    return (
+        merged.map_batches(local_topk, batch_format="pyarrow", zero_copy_batch=True)
+        .repartition(1)
+        .map_batches(local_topk, batch_format="pyarrow", zero_copy_batch=True)
+    )

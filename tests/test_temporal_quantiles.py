@@ -225,3 +225,17 @@ def test_asof_salted_parity_and_carry():
     )
     # purchases at h50/h100 carry back to the h2 view; h171 sees the h170 view
     assert got.matched_event_id.tolist() == [11, 11, 22]
+
+
+def test_vocab_topk_matches_pandas():
+    from osm2geojson_ray.stages.text import vocab_topk
+
+    docs = _read(f"{SF}/documents.parquet", ["doc_id", "text"])
+    got = vocab_topk(docs, k=10, num_parts=8).to_pandas()
+
+    from collections import Counter
+    c = Counter()
+    for s in pq.read_table(f"{SF}/documents.parquet").to_pandas().text:
+        c.update(s.split(" "))
+    ref = sorted(c.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
+    assert list(zip(got.token, got.n)) == ref
