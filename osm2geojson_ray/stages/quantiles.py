@@ -174,11 +174,12 @@ def grouped_quantiles(
             edges, pair = task_edges(t)
             spec.append((i, t["g"], edges, t["closed"], pair))
             t["_edges"], t["_pair"] = edges, pair
-        spec_ref = ray.put(spec)
-
         class Hist:
+            # spec is a few dozen tuples — captured directly in the actor
+            # closure (ray.put broadcast is for BIG state like the kNN
+            # centroid matrix; for tiny specs it only adds a round-trip)
             def __init__(self) -> None:
-                self.spec = ray.get(spec_ref)
+                self.spec = spec
 
             def __call__(self, t: pa.Table) -> pa.Table:
                 codes, code_of = _group_codes(t, group_col)
@@ -251,11 +252,10 @@ def grouped_quantiles(
         if t["value"] is None
     ]
     if rem_spec:
-        rem_ref = ray.put(rem_spec)
 
         class Gather:
             def __init__(self) -> None:
-                self.spec = ray.get(rem_ref)
+                self.spec = rem_spec
 
             def __call__(self, t: pa.Table) -> pa.Table:
                 codes, code_of = _group_codes(t, group_col)

@@ -11,8 +11,8 @@ sizes:
   per-block local top-N followed by one tiny single-block merge — never
   a global sort.
 - ``customer_enrich``: nation (25 rows) and region (5 rows) are bounded
-  at EVERY scale, so the lookup is composed once on the driver,
-  ``ray.put`` once, and read per actor in ``__init__`` — no shuffle.
+  at EVERY scale, so the lookup is composed once on the driver and
+  shipped once per actor via closure capture — no shuffle.
 
 Revenue uses exact integer cents (``round(price*100) * (100 -
 round(discount*100))``) so the grouped sums are order-independent and
@@ -154,9 +154,10 @@ def customer_enrich(
 ) -> ray.data.Dataset:
     """customer → (c_custkey, c_name, c_mktsegment, n_name, r_name) via a
     BROADCAST of the bounded nation⋈region lookup: composed once on the
-    driver (30 rows), ``ray.put`` once, fetched per actor in
-    ``__init__`` — the small-side join strategy (no shuffle, contrast
-    with ``orders_revenue_topn``'s data-sized hash joins)."""
+    driver (30 rows), shipped once per actor (closure capture — ``ray.put``
+    refs are for big broadcasts like the kNN centroid matrix) — the
+    small-side join strategy (no shuffle, contrast with
+    ``orders_revenue_topn``'s data-sized hash joins)."""
     rk = np.asarray(region.column("r_regionkey"), dtype=np.int64)
     r_order = np.argsort(rk)
     rnames = np.asarray(region.column("r_name").to_pylist(), dtype=object)[r_order]
@@ -166,11 +167,12 @@ def customer_enrich(
     nnames = np.asarray(nation.column("n_name").to_pylist(), dtype=object)[n_order]
     n_regionkey = np.asarray(nation.column("n_regionkey"), dtype=np.int64)[n_order]
     n_rnames = rnames[np.searchsorted(rk[r_order], n_regionkey)]
-    lookup_ref = ray.put((nk_sorted, nnames, n_rnames))
+    lookup = (nk_sorted, nnames, n_rnames)  # ≤25 rows: closure capture,
+    # not ray.put — broadcast refs are for big state (see tiling/kNN)
 
     class Enrich:
         def __init__(self) -> None:
-            self.nk, self.nn, self.rn = ray.get(lookup_ref)
+            self.nk, self.nn, self.rn = lookup
 
         def __call__(self, t: pa.Table) -> pa.Table:
             ck = np.asarray(t.column("c_nationkey")).astype(np.int64)
