@@ -237,23 +237,35 @@ def band_join_count(
         lb = np.asarray(lt.column("bucket"))
         rv = np.asarray(rt.column("b_value"))
         rb = np.asarray(rt.column("bucket"))
-        n = np.zeros(lt.num_rows, np.int64)
         # build rows native to each bucket, sorted once; probes sweep them
         order = np.lexsort((rv, rb))
         rv_s, rb_s = rv[order], rb[order]
         starts = np.searchsorted(rb_s, lb, side="left")
         ends = np.searchsorted(rb_s, lb, side="right")
-        slack = delta * (1.0 + 1e-12)
-        lo = np.searchsorted(rv_s, lv - slack, side="left")
-        hi = np.searchsorted(rv_s, lv + slack, side="right")
-        lo = np.maximum(lo, starts)
-        hi = np.minimum(hi, ends)
-        width = np.maximum(hi - lo, 0)
-        # exact predicate on the (small) candidate expansion
-        cand = np.repeat(lo, width) + _ranges_offsets(width)
-        owner = np.repeat(np.arange(lt.num_rows), width)
-        ok = np.abs(lv[owner] - rv_s[cand]) <= delta
-        np.add.at(n, owner[ok], 1)
+        # float subtraction is monotone in rv, so the float predicate
+        # abs(lv - rv) <= delta selects a CONTIGUOUS run of the sorted
+        # build values — count it with searchsorted bounds, O(log n) per
+        # probe REGARDLESS of selectivity (never materialize the pairs:
+        # a count at delta covering 1e4 matches/probe must not cost 1e4
+        # expansions/probe).  A few-ulp guard band around each bound is
+        # re-checked with the exact predicate — only those 0..2
+        # candidates per probe ever expand.
+        eps = 4.0 * np.spacing(np.abs(lv) + delta)
+        sure_lo = np.searchsorted(rv_s, (lv - delta) + eps, side="left")
+        sure_hi = np.searchsorted(rv_s, (lv + delta) - eps, side="right")
+        out_lo = np.searchsorted(rv_s, (lv - delta) - eps, side="left")
+        out_hi = np.searchsorted(rv_s, (lv + delta) + eps, side="right")
+        a, b = np.maximum(sure_lo, starts), np.minimum(sure_hi, ends)
+        n = np.maximum(b - a, 0)
+        # max() keeps the two guard windows disjoint even when the sure
+        # interval inverts (delta within a few ulp of 0)
+        for w_lo, w_hi in ((out_lo, sure_lo), (np.maximum(sure_hi, sure_lo), out_hi)):
+            wa, wb = np.maximum(w_lo, starts), np.minimum(w_hi, ends)
+            width = np.maximum(wb - wa, 0)
+            cand = np.repeat(wa, width) + _ranges_offsets(width)
+            owner = np.repeat(np.arange(lt.num_rows), width)
+            ok = np.abs(lv[owner] - rv_s[cand]) <= delta
+            np.add.at(n, owner[ok], 1)
         return pa.table({"event_id": lt.column("event_id"), "n": pa.array(n)})
 
     partial = cogroup_apply(probe, build, "bucket", probe_schema, build_schema, count_part, num_parts=num_parts)
