@@ -31,7 +31,21 @@ def main() -> int:
     ap.add_argument("--out", required=True, help="output Parquet directory")
     ap.add_argument("--min-rows", type=int, default=1)
     ap.add_argument("--num-cpus", type=int, default=None)
+    ap.add_argument(
+        "--resume", action="store_true",
+        help="skip (exit 0) if the output manifest says this query already "
+        "completed — the per-operator analogue of run_pipeline.py's "
+        "checkpoint skip",
+    )
     args = ap.parse_args()
+
+    manifest = os.path.join(args.out, "_MANIFEST.json")
+    if args.resume and os.path.exists(manifest):
+        with open(manifest) as f:
+            prev = json.load(f)
+        if prev.get("query") == args.query and prev.get("rows", 0) >= args.min_rows:
+            print(json.dumps({**prev, "resumed": True}))
+            return 0
 
     import ray
 
@@ -58,8 +72,6 @@ def main() -> int:
         t0 = time.perf_counter()
         res = reg[args.query](args.sf_dir)
         if isinstance(res, pa.Table):
-            import os
-
             os.makedirs(args.out, exist_ok=True)
             pq.write_table(res, f"{args.out}/part-0.parquet")
             n = res.num_rows
@@ -67,14 +79,16 @@ def main() -> int:
             res.write_parquet(args.out)
             n = ray.data.read_parquet(args.out).count()
         else:  # pandas
-            import os
-
             os.makedirs(args.out, exist_ok=True)
             pq.write_table(pa.Table.from_pandas(res, preserve_index=False),
                            f"{args.out}/part-0.parquet")
             n = len(res)
         wall = round(time.perf_counter() - t0, 3)
-        print(json.dumps({"query": args.query, "rows": n, "sec": wall, "out": args.out}))
+        summary = {"query": args.query, "rows": n, "sec": wall, "out": args.out}
+        if n >= args.min_rows:
+            with open(manifest, "w") as f:
+                json.dump(summary, f)
+        print(json.dumps(summary))
         return 0 if n >= args.min_rows else 1
     finally:
         ray.shutdown()
