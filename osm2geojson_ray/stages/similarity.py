@@ -379,3 +379,170 @@ def ann_ivf(
         IvfBucketize, batch_format="pyarrow", zero_copy_batch=True, concurrency=(1, 8)
     )
     return _bucketed_topk(bucketed, k, num_parts)
+
+
+# --- persistent IVF index (build once, query many) ----------------------
+
+IVF_SHARDS = 16  # inverted lists are sharded by bucket range for pruned reads
+
+
+def ivf_index_build(
+    embeddings: ray.data.Dataset,
+    out_dir: str,
+    n_centroids: int | None = None,
+    n_iters: int = 3,
+    sample_every: int | None = None,
+    num_shards: int = IVF_SHARDS,
+) -> dict:
+    """Materialize an IVF index on disk: ``centroids.parquet`` (the
+    quantizer) + ``lists/shard=S/`` (inverted lists, hive-partitioned by
+    bucket range).  Build once, then ``ivf_index_search`` serves any
+    number of query batches reading ONLY the probed shards — at
+    ``nprobe ≪ n_centroids`` most index bytes never leave storage, the
+    property that makes an ANN index worth persisting at 10^12 rows.
+
+    Assignment is one map pass (centroid matrix per actor `__init__`);
+    the partitioned write is the engine's resumable-output shape (one
+    directory per shard, many files)."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    n = embeddings.count()
+    n_centroids, sample_every = ivf_sample_params(n, n_centroids, sample_every)
+    cent_ref = ivf_train(embeddings, n_centroids, sample_every, n_iters=n_iters)
+    cmat = ray.get(cent_ref)
+    os.makedirs(out_dir, exist_ok=True)
+    d = cmat.shape[1] if len(cmat) else 0
+    pq.write_table(
+        pa.table(
+            {
+                "centroid_id": pa.array(np.arange(len(cmat), dtype=np.int64)),
+                "centroid": pa.FixedSizeListArray.from_arrays(
+                    pa.array(cmat.ravel(), pa.float64()), d
+                ) if d else pa.array([], pa.list_(pa.float64())),
+            }
+        ),
+        f"{out_dir}/centroids.parquet",
+    )
+    buckets_per_shard = max(1, (n_centroids + num_shards - 1) // num_shards)
+
+    class Assign:
+        def __init__(self) -> None:
+            self.cmat = ray.get(cent_ref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            if t.num_rows == 0 or len(self.cmat) == 0:
+                return pa.table(
+                    {"vec_id": pa.array([], pa.int64()),
+                     "bucket": pa.array([], pa.int64()),
+                     "shard": pa.array([], pa.int64()),
+                     "embedding": pa.array([], t.schema.field("embedding").type)}
+                )
+            ids, mat = _matrix(t)
+            own = np.argmax(mat @ self.cmat.T, axis=1).astype(np.int64)
+            return pa.table(
+                {"vec_id": pa.array(ids, pa.int64()),
+                 "bucket": pa.array(own),
+                 "shard": pa.array(own // buckets_per_shard),
+                 "embedding": t.column("embedding")}
+            )
+
+    embeddings.map_batches(
+        Assign, batch_format="pyarrow", zero_copy_batch=True, concurrency=(1, 8)
+    ).write_parquet(f"{out_dir}/lists", partition_cols=["shard"])
+    meta = {
+        "n": n, "n_centroids": n_centroids, "sample_every": sample_every,
+        "n_iters": n_iters, "buckets_per_shard": buckets_per_shard,
+    }
+    import json
+
+    with open(f"{out_dir}/_META.json", "w") as f:
+        json.dump(meta, f)
+    return meta
+
+
+def ivf_index_search(
+    index_dir: str,
+    queries: ray.data.Dataset,
+    k: int = 5,
+    nprobe: int = 2,
+    num_parts: int = 16,
+) -> ray.data.Dataset:
+    """Serve ANN queries from a persisted IVF index, reading ONLY the
+    shards the queries probe: probe buckets are computed per query
+    (centroid matrix once per actor), the distinct probed-shard set is a
+    bounded aggregate (≤ IVF_SHARDS rows), and the inverted lists load
+    via hive-partition-pruned ``read_parquet`` on exactly those shard
+    directories.  The search tail is the shared bucketed top-k."""
+    import json
+
+    import pyarrow.parquet as pq
+
+    with open(f"{index_dir}/_META.json") as f:
+        meta = json.load(f)
+    bps = int(meta["buckets_per_shard"])
+    ctab = pq.read_table(f"{index_dir}/centroids.parquet")
+    cmat = _emb64(ctab.column("centroid"))
+    cent_ref = ray.put(cmat)
+
+    class Probe:
+        def __init__(self) -> None:
+            self.cmat = ray.get(cent_ref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            if t.num_rows == 0 or len(self.cmat) == 0:
+                return pa.table(
+                    {"vec_id": pa.array([], pa.int64()),
+                     "bucket": pa.array([], pa.int64()),
+                     "is_query": pa.array([], pa.bool_()),
+                     "embedding": pa.array([], t.schema.field("embedding").type)}
+                )
+            ids, mat = _matrix(t)
+            sim = mat @ self.cmat.T
+            np_probe = min(nprobe, sim.shape[1])
+            probes = np.argsort(-sim, axis=1, kind="stable")[:, :np_probe]
+            emb = t.column("embedding").combine_chunks().take(
+                pa.array(np.repeat(np.arange(t.num_rows), np_probe))
+            )
+            return pa.table(
+                {"vec_id": pa.array(np.repeat(ids, np_probe), pa.int64()),
+                 "bucket": pa.array(probes.ravel().astype(np.int64)),
+                 "is_query": pa.array(np.ones(t.num_rows * np_probe, bool)),
+                 "embedding": emb}
+            )
+
+    probed = queries.map_batches(
+        Probe, batch_format="pyarrow", zero_copy_batch=True, concurrency=(1, 8)
+    ).materialize()
+
+    # bounded aggregate: which shards do the probes touch?
+    def shard_of(t: pa.Table) -> pa.Table:
+        b = np.unique(np.asarray(t.column("bucket")))
+        return pa.table({"shard": pa.array(b // bps)})
+
+    shards = sorted(
+        {r["shard"] for r in probed.map_batches(
+            shard_of, batch_format="pyarrow", zero_copy_batch=True
+        ).take_all()}
+    )
+    import glob
+
+    paths = [
+        p
+        for s in shards
+        for p in sorted(glob.glob(f"{index_dir}/lists/shard={s}/*.parquet"))
+    ]
+    if not paths:
+        return probed.filter(lambda r: False)
+    lists = ray.data.read_parquet(paths, columns=["vec_id", "bucket", "embedding"])
+
+    def tag_data(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {"vec_id": t.column("vec_id"), "bucket": t.column("bucket"),
+             "is_query": pa.array(np.zeros(t.num_rows, bool)),
+             "embedding": t.column("embedding")}
+        )
+
+    data = lists.map_batches(tag_data, batch_format="pyarrow", zero_copy_batch=True)
+    return _bucketed_topk(data.union(probed), k, num_parts)

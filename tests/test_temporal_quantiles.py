@@ -239,3 +239,26 @@ def test_vocab_topk_matches_pandas():
         c.update(s.split(" "))
     ref = sorted(c.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
     assert list(zip(got.token, got.n)) == ref
+
+
+def test_ivf_index_build_search_parity(tmp_path):
+    """Persisted IVF index (build → hive-sharded lists → pruned-read
+    search) returns bit-identical results to the direct ann_ivf path."""
+    from osm2geojson_ray.stages.similarity import (
+        ann_ivf, ivf_index_build, ivf_index_search, select_queries_batch,
+    )
+
+    emb = _read(f"{SF}/embeddings.parquet", ["vec_id", "embedding"])
+    direct = (
+        ann_ivf(emb, query_every=50, k=5, nprobe=2, n_iters=3)
+        .to_pandas().sort_values(["query_id", "rnk"]).reset_index(drop=True)
+    )
+    idx = str(tmp_path / "ivf")
+    meta = ivf_index_build(emb, idx, n_iters=3)
+    assert meta["n_centroids"] >= 4
+    q = emb.map_batches(lambda t: select_queries_batch(t, 50), batch_format="pyarrow")
+    served = (
+        ivf_index_search(idx, q, k=5, nprobe=2)
+        .to_pandas().sort_values(["query_id", "rnk"]).reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(direct, served)
