@@ -175,6 +175,34 @@ def q_media_frames(sf_dir: str):
     return _span_idx_i64(media_frames(read_documents(corpus)))
 
 
+def q_media_embed(sf_dir: str):
+    import numpy as np
+
+    from .. import synth
+    from ..sources.documents import read_documents
+    from ..stages.multimodal import EMBED_DIM, media_frame_embeddings
+
+    corpus = synth.ensure_corpus_for_sf(sf_dir)
+    out = _span_idx_i64(media_frame_embeddings(read_documents(corpus)))
+
+    def flatten(t: pa.Table) -> pa.Table:
+        # long format for the oracle compare (the fixed-size-list column
+        # is the API; per-(row, dim) scalars hash robustly)
+        n = t.num_rows
+        rep = pa.array(np.repeat(np.arange(n, dtype=np.int64), EMBED_DIM))
+        return pa.table(
+            {
+                "doc_id": t.column("doc_id").combine_chunks().take(rep),
+                "span_idx": t.column("span_idx").combine_chunks().take(rep),
+                "frame_idx": t.column("frame_idx").combine_chunks().take(rep),
+                "dim": pa.array(np.tile(np.arange(EMBED_DIM, dtype=np.int64), n)),
+                "value": t.column("embedding").combine_chunks().flatten(),
+            }
+        )
+
+    return out.map_batches(flatten, batch_format="pyarrow", zero_copy_batch=True)
+
+
 def q_orders_topn(sf_dir: str):
     li = _read_clean(
         f"{sf_dir}/lineitem.parquet",
@@ -287,6 +315,7 @@ TRAINING_QUERIES = {
     "event_quantiles": q_quantiles,
     "hll_users": q_hll_users,
     "media_frames": q_media_frames,
+    "media_embed": q_media_embed,
     "orders_no_lineitems": q_orders_no_lineitems,
     "docs_above_median": q_docs_above_median,
     "vocab_topk": q_vocab_topk,
@@ -740,6 +769,29 @@ SELECT doc_id, span_idx, media_ref, width, height, n_frames,
        out_width, out_height,
        CAST(CASE WHEN n_frames >= 4 THEN (i * n_frames) // 4 ELSE i END AS BIGINT) AS frame_idx
 FROM rs, unnest(range(CAST(LEAST(n_frames, 4) AS BIGINT))) AS t(i)
+"""
+
+    eh = _MD5INT.format(x="media_ref || ':' || CAST(frame_idx AS VARCHAR) || ':' || CAST(d AS VARCHAR)")
+    sql["media_embed"] = f"""
+WITH raw AS (SELECT doc_id, spans FROM read_parquet('{corpus}/*.parquet')),
+sp AS (
+  SELECT doc_id, generate_subscripts(spans, 1) - 1 AS span_idx,
+         unnest(spans, recursive := true)
+  FROM raw
+),
+dec AS (
+  SELECT doc_id, CAST(span_idx AS BIGINT) AS span_idx, media_ref,
+         CAST(1 + ({h} // 1048576) % 16 AS BIGINT) AS n_frames
+  FROM sp WHERE kind = 'media'
+),
+fr AS (
+  SELECT doc_id, span_idx, media_ref,
+         CAST(CASE WHEN n_frames >= 4 THEN (i * n_frames) // 4 ELSE i END AS BIGINT) AS frame_idx
+  FROM dec, unnest(range(CAST(LEAST(n_frames, 4) AS BIGINT))) AS t(i)
+)
+SELECT doc_id, span_idx, frame_idx, CAST(d AS BIGINT) AS dim,
+       ({eh} % 1000) / 1000.0 AS value
+FROM fr, unnest(range(16)) AS u(d)
 """
 
     return sql

@@ -151,3 +151,51 @@ def media_frames(documents: ray.data.Dataset, concurrency=(1, 4)) -> ray.data.Da
     """Full media chain: span extraction → actor-pool decode → resize
     plan → uniform frame sample; one row per sampled frame."""
     return sample_frames(resize_plan(media_features(documents, concurrency=concurrency)))
+
+
+EMBED_DIM = 16
+
+
+class FrameEmbedStub:
+    """Feature-extraction stage (actor pool): per sampled frame, a
+    deterministic EMBED_DIM-vector.  STUB: components are md5-derived
+    from (media_ref, frame_idx, i) — SQL-replicable so even the fake
+    extractor is oracle-checked; a REAL extractor is this same actor
+    signature with the vision model loaded in ``__init__`` and batched
+    inference in ``__call__`` (the per-row md5 loop is the stub's
+    disclosed cost, exactly like the text fingerprint family)."""
+
+    def __init__(self) -> None:
+        # real impl: load the vision model here, once per actor
+        self.dim = EMBED_DIM
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        refs = batch.column("media_ref").to_pylist()
+        frames = batch.column("frame_idx").to_pylist()
+        vals = [
+            (md5int60(f"{r}:{f}:{i}") % 1000) / 1000.0
+            for r, f in zip(refs, frames)
+            for i in range(self.dim)
+        ]
+        emb = pa.FixedSizeListArray.from_arrays(
+            pa.array(vals, pa.float64()), self.dim
+        )
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "span_idx": batch.column("span_idx"),
+                "media_ref": batch.column("media_ref"),
+                "frame_idx": batch.column("frame_idx"),
+                "embedding": emb,
+            }
+        )
+
+
+def media_frame_embeddings(
+    documents: ray.data.Dataset, concurrency=(1, 4)
+) -> ray.data.Dataset:
+    """The full 4-stage multimodal chain: span extraction → decode →
+    resize plan → frame sample → per-frame feature extraction."""
+    return media_frames(documents, concurrency=concurrency).map_batches(
+        FrameEmbedStub, batch_format="pyarrow", concurrency=concurrency
+    )

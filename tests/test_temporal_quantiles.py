@@ -262,3 +262,21 @@ def test_ivf_index_build_search_parity(tmp_path):
         .to_pandas().sort_values(["query_id", "rnk"]).reset_index(drop=True)
     )
     pd.testing.assert_frame_equal(direct, served)
+
+
+def test_frame_embed_stub_deterministic():
+    from osm2geojson_ray.functions.hashing import md5int60
+    from osm2geojson_ray.stages.multimodal import EMBED_DIM, FrameEmbedStub
+
+    t = pa.table(
+        {
+            "doc_id": pa.array(["d1"]),
+            "span_idx": pa.array([0], pa.int64()),
+            "media_ref": pa.array(["media://x"]),
+            "frame_idx": pa.array([2], pa.int64()),
+        }
+    )
+    out = FrameEmbedStub()(t)
+    emb = out.column("embedding").combine_chunks().flatten().to_pylist()
+    assert len(emb) == EMBED_DIM
+    assert emb[3] == (md5int60("media://x:2:3") % 1000) / 1000.0
