@@ -137,6 +137,42 @@ def q_events_window(sf_dir: str):
     return out.map_batches(epochify, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def q_streaming_window(sf_dir: str):
+    """Streaming micro-batch windowing over a segmented event log.  The
+    log segments are derived deterministically from the events table
+    (ts-ordered, 6 segments) — harness setup standing in for the
+    production sequence of log files; the OPERATOR is
+    stages.streaming.streaming_windowed_agg."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    from ..stages.streaming import streaming_windowed_agg
+
+    t = pq.read_table(f"{sf_dir}/events.parquet", columns=["user_id", "ts", "value"])
+    df = t.to_pandas().sort_values(["ts", "user_id"]).reset_index(drop=True)
+    seg_dir = f"/tmp/osmray_evlog/{abs(hash(sf_dir)) % 10**8}"
+    os.makedirs(seg_dir, exist_ok=True)
+    paths = []
+    k = 6
+    for i in range(k):
+        seg = df.iloc[i * len(df) // k : (i + 1) * len(df) // k]
+        p = f"{seg_dir}/seg-{i}.parquet"
+        pq.write_table(pa.Table.from_pandas(seg, preserve_index=False), p)
+        paths.append(p)
+    out = streaming_windowed_agg(paths, num_buckets=4)
+    ws = out.column("window_start").cast(pa.timestamp("s")).cast(pa.int64())
+    return pa.table(
+        {
+            "user_id": out.column("user_id"),
+            "window_epoch": ws,
+            "n": out.column("n"),
+            "min_value": out.column("min_value"),
+            "max_value": out.column("max_value"),
+        }
+    )
+
+
 def q_sessionize(sf_dir: str):
     ev = _read_clean(f"{sf_dir}/events.parquet", columns=["event_id", "ts", "user_id"])
     return EV.sessionize(ev)
@@ -303,6 +339,7 @@ TRAINING_QUERIES = {
     "embedding_dups": q_embedding_dups,
     "ann_bruteforce": q_ann_bruteforce,
     "events_window": q_events_window,
+    "streaming_window": q_streaming_window,
     "sessionize": q_sessionize,
     "lineitem_agg": q_lineitem_agg,
     "media_features": q_media_features,
@@ -710,6 +747,10 @@ SELECT user_id,
        max(value) AS max_value
 FROM events GROUP BY 1, 2
 """
+
+    # streaming emission over the segmented log converges to the same
+    # tumbling windows (exactly-once per (user, window))
+    sql["streaming_window"] = sql["events_window"]
 
     sql["sessionize"] = """
 WITH w AS (

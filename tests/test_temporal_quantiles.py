@@ -280,3 +280,37 @@ def test_frame_embed_stub_deterministic():
     emb = out.column("embedding").combine_chunks().flatten().to_pylist()
     assert len(emb) == EMBED_DIM
     assert emb[3] == (md5int60("media://x:2:3") % 1000) / 1000.0
+
+
+def test_streaming_window_matches_batch(tmp_path):
+    """Micro-batch streaming windowing (raw-actor state) converges to
+    the batch operator's windows, exactly once each."""
+    import pyarrow.parquet as pq2
+
+    from osm2geojson_ray.stages.events import windowed_agg
+    from osm2geojson_ray.stages.streaming import streaming_windowed_agg
+
+    t = pq.read_table(f"{SF}/events.parquet", columns=["user_id", "ts", "value"])
+    df = t.to_pandas().sort_values("ts").reset_index(drop=True)
+    paths = []
+    for i in range(5):
+        seg = df.iloc[i * len(df) // 5 : (i + 1) * len(df) // 5]
+        p = str(tmp_path / f"seg-{i}.parquet")
+        pq2.write_table(pa.Table.from_pandas(seg, preserve_index=False), p)
+        paths.append(p)
+
+    got = (
+        streaming_windowed_agg(paths, num_buckets=3)
+        .to_pandas().sort_values(["user_id", "window_start"]).reset_index(drop=True)
+    )
+    assert not got.duplicated(["user_id", "window_start"]).any()
+
+    ev = _read(f"{SF}/events.parquet", ["event_id", "ts", "user_id", "value"])
+    want = (
+        windowed_agg(ev).to_pandas()
+        .sort_values(["user_id", "window_start"]).reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(
+        got, want[["user_id", "window_start", "n", "min_value", "max_value"]],
+        check_dtype=False,
+    )
