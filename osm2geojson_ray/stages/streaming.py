@@ -28,7 +28,6 @@ size ``num_buckets`` to the cluster, salt hot users across buckets by
 from __future__ import annotations
 
 import numpy as np
-import pandas as pd
 import pyarrow as pa
 
 import ray
