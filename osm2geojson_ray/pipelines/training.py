@@ -118,6 +118,25 @@ def q_ann_ivf(sf_dir: str):
     )
 
 
+def q_ann_ivf_persisted(sf_dir: str):
+    """Build-once / query-many IVF: persist the index (centroids +
+    hive-sharded inverted lists) then serve the standard query set with
+    partition-pruned shard reads.  Bit-identical to ``ann_ivf`` (same
+    deterministic quantizer), so it shares that oracle."""
+    import hashlib
+    import shutil
+
+    emb = _read_clean(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    idx = f"/tmp/osmray_ivf_idx/{tag}"
+    shutil.rmtree(idx, ignore_errors=True)
+    S.ivf_index_build(emb, idx, n_iters=ANN_IVF_ITERS)
+    q = emb.map_batches(
+        lambda t: S.select_queries_batch(t, ANN_QUERY_EVERY), batch_format="pyarrow"
+    )
+    return S.ivf_index_search(idx, q, k=ANN_K, nprobe=ANN_IVF_NPROBE)
+
+
 def q_events_window(sf_dir: str):
     ev = _read_clean(f"{sf_dir}/events.parquet", columns=["event_id", "ts", "user_id", "value"])
     out = EV.windowed_agg(ev)
@@ -143,6 +162,7 @@ def q_streaming_window(sf_dir: str):
     (ts-ordered, 6 segments) — harness setup standing in for the
     production sequence of log files; the OPERATOR is
     stages.streaming.streaming_windowed_agg."""
+    import hashlib
     import os
 
     import pyarrow.parquet as pq
@@ -151,7 +171,7 @@ def q_streaming_window(sf_dir: str):
 
     t = pq.read_table(f"{sf_dir}/events.parquet", columns=["user_id", "ts", "value"])
     df = t.to_pandas().sort_values(["ts", "user_id"]).reset_index(drop=True)
-    seg_dir = f"/tmp/osmray_evlog/{abs(hash(sf_dir)) % 10**8}"
+    seg_dir = f"/tmp/osmray_evlog/{hashlib.md5(sf_dir.encode()).hexdigest()[:8]}"
     os.makedirs(seg_dir, exist_ok=True)
     paths = []
     k = 6
@@ -361,6 +381,7 @@ TRAINING_QUERIES = {
     # re-derived by the oracle generator and inlined as SQL literals)
     "ann_lsh": q_ann_lsh,
     "ann_ivf": q_ann_ivf,
+    "ann_ivf_persisted": q_ann_ivf_persisted,
 }
 
 
@@ -738,6 +759,11 @@ ranked AS (
 )
 SELECT query_id, neighbor_id, CAST(rnk AS BIGINT) AS rnk FROM ranked WHERE rnk <= {ANN_K}
 """
+
+    # the persisted-index path is bit-identical to ann_ivf (same
+    # deterministic quantizer; pruned shard reads change I/O, not results)
+    sql["ann_ivf_persisted"] = sql["ann_ivf"]
+
 
     sql["events_window"] = """
 SELECT user_id,
