@@ -242,30 +242,7 @@ def band_join_count(
         rv_s, rb_s = rv[order], rb[order]
         starts = np.searchsorted(rb_s, lb, side="left")
         ends = np.searchsorted(rb_s, lb, side="right")
-        # float subtraction is monotone in rv, so the float predicate
-        # abs(lv - rv) <= delta selects a CONTIGUOUS run of the sorted
-        # build values — count it with searchsorted bounds, O(log n) per
-        # probe REGARDLESS of selectivity (never materialize the pairs:
-        # a count at delta covering 1e4 matches/probe must not cost 1e4
-        # expansions/probe).  A few-ulp guard band around each bound is
-        # re-checked with the exact predicate — only those 0..2
-        # candidates per probe ever expand.
-        eps = 4.0 * np.spacing(np.abs(lv) + delta)
-        sure_lo = np.searchsorted(rv_s, (lv - delta) + eps, side="left")
-        sure_hi = np.searchsorted(rv_s, (lv + delta) - eps, side="right")
-        out_lo = np.searchsorted(rv_s, (lv - delta) - eps, side="left")
-        out_hi = np.searchsorted(rv_s, (lv + delta) + eps, side="right")
-        a, b = np.maximum(sure_lo, starts), np.minimum(sure_hi, ends)
-        n = np.maximum(b - a, 0)
-        # max() keeps the two guard windows disjoint even when the sure
-        # interval inverts (delta within a few ulp of 0)
-        for w_lo, w_hi in ((out_lo, sure_lo), (np.maximum(sure_hi, sure_lo), out_hi)):
-            wa, wb = np.maximum(w_lo, starts), np.minimum(w_hi, ends)
-            width = np.maximum(wb - wa, 0)
-            cand = np.repeat(wa, width) + _ranges_offsets(width)
-            owner = np.repeat(np.arange(lt.num_rows), width)
-            ok = np.abs(lv[owner] - rv_s[cand]) <= delta
-            np.add.at(n, owner[ok], 1)
+        n = band_count_sorted(lv, rv_s, delta, starts, ends)
         return pa.table({"event_id": lt.column("event_id"), "n": pa.array(n)})
 
     partial = cogroup_apply(probe, build, "bucket", probe_schema, build_schema, count_part, num_parts=num_parts)
@@ -287,6 +264,48 @@ def _ranges_offsets(width: np.ndarray) -> np.ndarray:
         return np.zeros(0, np.int64)
     starts = np.cumsum(width) - width
     return np.arange(total, dtype=np.int64) - np.repeat(starts, width)
+
+def band_count_sorted(
+    lv: np.ndarray,
+    rv_s: np.ndarray,
+    delta: float,
+    starts: np.ndarray | None = None,
+    ends: np.ndarray | None = None,
+) -> np.ndarray:
+    """Per probe value, count sorted build values with float predicate
+    ``abs(lv - rv) <= delta``, restricted to ``[starts, ends)`` slices.
+
+    Float subtraction is monotone in rv, so the predicate selects a
+    CONTIGUOUS run of ``rv_s`` — counted with searchsorted bounds,
+    O(log n) per probe REGARDLESS of selectivity (never materialize the
+    pairs: a count at delta covering 1e4 matches/probe must not cost
+    1e4 expansions/probe).  A few-ulp guard band around each bound is
+    re-checked with the exact predicate — only those 0..2 candidates
+    per probe ever expand.  Pure kernel, property-tested against the
+    brute-force count in tests/test_kernels_property.py.
+    """
+    if starts is None:
+        starts = np.zeros(len(lv), np.int64)
+    if ends is None:
+        ends = np.full(len(lv), len(rv_s), np.int64)
+    eps = 4.0 * np.spacing(np.abs(lv) + delta)
+    sure_lo = np.searchsorted(rv_s, (lv - delta) + eps, side="left")
+    sure_hi = np.searchsorted(rv_s, (lv + delta) - eps, side="right")
+    out_lo = np.searchsorted(rv_s, (lv - delta) - eps, side="left")
+    out_hi = np.searchsorted(rv_s, (lv + delta) + eps, side="right")
+    a, b = np.maximum(sure_lo, starts), np.minimum(sure_hi, ends)
+    n = np.maximum(b - a, 0)
+    # max() keeps the two guard windows disjoint even when the sure
+    # interval inverts (delta within a few ulp of 0)
+    for w_lo, w_hi in ((out_lo, sure_lo), (np.maximum(sure_hi, sure_lo), out_hi)):
+        wa, wb = np.maximum(w_lo, starts), np.minimum(w_hi, ends)
+        width = np.maximum(wb - wa, 0)
+        cand = np.repeat(wa, width) + _ranges_offsets(width)
+        owner = np.repeat(np.arange(len(lv)), width)
+        ok = np.abs(lv[owner] - rv_s[cand]) <= delta
+        np.add.at(n, owner[ok], 1)
+    return n
+
 
 
 def asof_join_salted(
