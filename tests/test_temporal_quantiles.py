@@ -314,3 +314,57 @@ def test_streaming_window_matches_batch(tmp_path):
         got, want[["user_id", "window_start", "n", "min_value", "max_value"]],
         check_dtype=False,
     )
+
+
+def test_quantiles_adversarial_distributions():
+    """Exact quantiles across nasty value distributions: heavy
+    duplicates, constant groups, tiny groups, mixed magnitudes,
+    negatives — all against the numpy order statistic."""
+    from osm2geojson_ray.stages.quantiles import grouped_quantiles
+
+    rng = np.random.default_rng(123)
+    cases = {
+        "dupes": np.repeat(rng.normal(0, 1, 40), 50),
+        "constant": np.full(777, 3.5),
+        "tiny": np.array([2.0, -1.0, 7.5]),
+        "mixed_mag": np.concatenate([rng.uniform(1e-9, 1e-6, 300), rng.uniform(1e6, 1e9, 300)]),
+        "negative": -np.abs(rng.gamma(2, 10, 500)),
+    }
+    g = np.concatenate([[k] * len(v) for k, v in cases.items()])
+    v = np.concatenate(list(cases.values()))
+    perm = rng.permutation(len(v))
+    t = pa.table({"g": pa.array(g[perm]), "value": pa.array(v[perm])})
+    got = grouped_quantiles(
+        rd.from_arrow(t), "value", "g", qs=(0.25, 0.5, 0.99), gather_cap=64, bins=32
+    ).to_pandas()
+    for _, row in got.iterrows():
+        assert row["value"] == _disc_quantile(cases[row["g"]], row["q"]), row
+
+
+def test_asof_salted_random_log():
+    """Salted vs unsalted as-of parity on a seeded random event log with
+    few users (forces many buckets per user and cross-bucket carries)."""
+    from osm2geojson_ray.stages.events import asof_join, asof_join_salted
+
+    rng = np.random.default_rng(9)
+    n = 4000
+    ts = (np.sort(rng.integers(0, 60 * 24 * 3600, n)) * 1_000_000).astype("int64")
+    t = pa.table(
+        {
+            "event_id": pa.array(np.arange(n), pa.int64()),
+            "ts": pa.array(ts.view("datetime64[us]"), pa.timestamp("us")),
+            "user_id": pa.array(rng.integers(0, 5, n), pa.int64()),
+            "event_type": pa.array(
+                np.array(["purchase", "view", "click"])[rng.integers(0, 3, n)]
+            ),
+        }
+    )
+    ds = rd.from_arrow(t)
+    a = asof_join(ds, num_parts=8).to_pandas().sort_values("event_id").reset_index(drop=True)
+    b = (
+        asof_join_salted(ds, bucket_hours=4, num_parts=8)
+        .to_pandas().sort_values("event_id").reset_index(drop=True)
+    )
+    a["matched_event_id"] = a["matched_event_id"].astype("float64")
+    b["matched_event_id"] = b["matched_event_id"].astype("float64")
+    pd.testing.assert_frame_equal(a, b)
