@@ -198,6 +198,18 @@ def q_sessionize(sf_dir: str):
     return EV.sessionize(ev)
 
 
+def q_events_pivot(sf_dir: str):
+    ev = _read_clean(f"{sf_dir}/events.parquet", columns=["user_id", "event_type"])
+    return EV.pivot_event_counts(ev)
+
+
+def q_value_lag(sf_dir: str):
+    ev = _read_clean(
+        f"{sf_dir}/events.parquet", columns=["event_id", "ts", "user_id", "value"]
+    )
+    return EV.value_lag_delta(ev)
+
+
 def q_lineitem_agg(sf_dir: str):
     li = _read_clean(f"{sf_dir}/lineitem.parquet", columns=["l_returnflag", "l_linestatus", "l_quantity"])
     return EV.lineitem_pricing_summary(li)
@@ -360,6 +372,8 @@ TRAINING_QUERIES = {
     "ann_bruteforce": q_ann_bruteforce,
     "events_window": q_events_window,
     "streaming_window": q_streaming_window,
+    "events_pivot": q_events_pivot,
+    "value_lag": q_value_lag,
     "sessionize": q_sessionize,
     "lineitem_agg": q_lineitem_agg,
     "media_features": q_media_features,
@@ -777,6 +791,22 @@ FROM events GROUP BY 1, 2
     # streaming emission over the segmented log converges to the same
     # tumbling windows (exactly-once per (user, window))
     sql["streaming_window"] = sql["events_window"]
+
+    sql["events_pivot"] = """
+SELECT user_id,
+       CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS n_click,
+       CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n_error,
+       CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_purchase,
+       CAST(sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS n_signup,
+       CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS n_view
+FROM events GROUP BY 1
+"""
+
+    sql["value_lag"] = """
+SELECT event_id, user_id,
+       value - lag(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS value_delta
+FROM events
+"""
 
     sql["sessionize"] = """
 WITH w AS (

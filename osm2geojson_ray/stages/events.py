@@ -497,3 +497,63 @@ def asof_join_salted(
         return from_pandas_clean(m[out_cols])
 
     return partition_map(unioned, ["user_id", "bucket"], num_parts, match)
+
+
+EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
+
+
+def pivot_event_counts(events: ray.data.Dataset, num_parts: int = 32) -> ray.data.Dataset:
+    """Pivot (reshape): per user, one column of counts per event type —
+    (user_id, n_click, n_error, n_purchase, n_signup, n_view).
+
+    The pivoted column set must be FIXED for a distributed reshape (a
+    data-dependent column set can't have a stable block schema); the
+    known category list makes each batch a fixed-width partial-count
+    table (combiner), merged by one hash exchange + sum.  For unknown
+    categories run a distinct() first and generate the plan from it.
+    """
+    cols = [f"n_{t}" for t in EVENT_TYPES]
+
+    def local(t: pa.Table) -> pa.Table:
+        u = np.asarray(t.column("user_id"))
+        et = t.column("event_type").combine_chunks().dictionary_encode()
+        codes = np.asarray(et.indices)
+        dict_vals = et.dictionary.to_pylist()
+        uniq_u, inv = np.unique(u, return_inverse=True)
+        out = {"user_id": pa.array(uniq_u, pa.int64())}
+        counts = np.zeros((len(uniq_u), len(EVENT_TYPES)), np.int64)
+        for ci, name in enumerate(dict_vals):
+            if name in EVENT_TYPES:
+                col = EVENT_TYPES.index(name)
+                np.add.at(counts[:, col], inv[codes == ci], 1)
+        for j, c in enumerate(cols):
+            out[c] = pa.array(counts[:, j])
+        return pa.table(out)
+
+    def merge(t: pa.Table) -> pa.Table:
+        g = t.group_by(["user_id"]).aggregate([(c, "sum") for c in cols])
+        out = {"user_id": g.column("user_id")}
+        for c in cols:
+            out[c] = g.column(f"{c}_sum").combine_chunks().cast(pa.int64())
+        return pa.table(out)
+
+    pre = events.map_batches(local, batch_format="pyarrow", zero_copy_batch=True)
+    return partition_map(pre, ["user_id"], num_parts, merge)
+
+
+def value_lag_delta(events: ray.data.Dataset, num_parts: int = 32) -> ray.data.Dataset:
+    """Ordered analytic (LAG): per event, the value delta vs the user's
+    previous event (ordered by ts, event_id; first event → null) —
+    (event_id, user_id, value_delta).
+
+    Same shape as ``sessionize``: one hash exchange on user, vectorized
+    shift inside the partition — the window ORDER BY is computed inside
+    each user partition, never as a global sort."""
+
+    def lagd(t: pa.Table) -> pa.Table:
+        df = t.to_pandas().sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        prev = df.groupby("user_id", sort=False)["value"].shift()
+        df["value_delta"] = df["value"] - prev
+        return from_pandas_clean(df[["event_id", "user_id", "value_delta"]])
+
+    return partition_map(events, ["user_id"], num_parts, lagd)

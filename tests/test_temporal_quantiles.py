@@ -368,3 +368,25 @@ def test_asof_salted_random_log():
     a["matched_event_id"] = a["matched_event_id"].astype("float64")
     b["matched_event_id"] = b["matched_event_id"].astype("float64")
     pd.testing.assert_frame_equal(a, b)
+
+
+def test_pivot_and_lag_match_pandas():
+    from osm2geojson_ray.stages.events import pivot_event_counts, value_lag_delta
+
+    df = _events_df()
+    ev = _read(f"{SF}/events.parquet", ["user_id", "event_type"])
+    got = pivot_event_counts(ev, num_parts=8).to_pandas().sort_values("user_id").reset_index(drop=True)
+    ref = df.pivot_table(index="user_id", columns="event_type", values="event_id",
+                         aggfunc="count", fill_value=0)
+    for et in ["click", "error", "purchase", "signup", "view"]:
+        want = ref[et] if et in ref else 0
+        assert (got.set_index("user_id")[f"n_{et}"] == want).all(), et
+
+    ev2 = _read(f"{SF}/events.parquet", ["event_id", "ts", "user_id", "value"])
+    got2 = value_lag_delta(ev2, num_parts=8).to_pandas().sort_values("event_id").reset_index(drop=True)
+    d2 = df.sort_values(["user_id", "ts", "event_id"]).copy()
+    d2["value_delta"] = d2["value"] - d2.groupby("user_id")["value"].shift()
+    want2 = d2.sort_values("event_id").reset_index(drop=True)
+    assert got2.value_delta.isna().sum() == want2.value_delta.isna().sum() > 0
+    m = got2.value_delta.notna()
+    assert np.array_equal(got2.value_delta[m].to_numpy(), want2.value_delta[m].to_numpy())
