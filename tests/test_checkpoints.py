@@ -37,8 +37,19 @@ def test_checkpoint_run_and_resume(small_corpus_dir, workdir):
     assert out3["pipeline"].executed == ["features"]
     assert out3["features"].count() == n_features
 
+    # crash-mid-write: a stage dir WITHOUT a manifest (killed before the
+    # manifest landed) plus leftover partial/garbage files must be wiped
+    # and fully re-run, not trusted
+    os.remove(os.path.join(workdir, "features", "_MANIFEST.json"))
+    with open(os.path.join(workdir, "features", "part-garbage.parquet"), "w") as f:
+        f.write("not parquet")
+    out4 = run_checkpointed_flagship(small_corpus_dir, workdir, num_parts=8)
+    assert out4["pipeline"].executed == ["features"]
+    assert out4["features"].count() == n_features
+    assert not os.path.exists(os.path.join(workdir, "features", "part-garbage.parquet"))
+
     # lineage metrics recorded per stage execution
-    lineage = out3["pipeline"].lineage()
+    lineage = out4["pipeline"].lineage()
     stages = {r["stage"] for r in lineage}
     assert "complete_relations" in stages
     first_run = [r for r in lineage if not r["resumed"] and r["stage"] == "features"]
