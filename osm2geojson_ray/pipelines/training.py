@@ -215,6 +215,11 @@ def q_lineitem_agg(sf_dir: str):
     return EV.lineitem_pricing_summary(li)
 
 
+def q_lineitem_rollup(sf_dir: str):
+    li = _read_clean(f"{sf_dir}/lineitem.parquet", columns=["l_returnflag", "l_linestatus", "l_quantity"])
+    return EV.lineitem_rollup(li)
+
+
 def _span_idx_i64(out):
     return out.map_batches(
         lambda t: t.set_column(
@@ -376,6 +381,7 @@ TRAINING_QUERIES = {
     "value_lag": q_value_lag,
     "sessionize": q_sessionize,
     "lineitem_agg": q_lineitem_agg,
+    "lineitem_rollup": q_lineitem_rollup,
     "media_features": q_media_features,
     "orders_topn": q_orders_topn,
     "customer_enrich": q_customer_enrich,
@@ -825,6 +831,13 @@ SELECT l_returnflag, l_linestatus,
        sum(l_quantity) AS sum_qty,
        CAST(count(*) AS BIGINT) AS n
 FROM lineitem GROUP BY 1, 2
+"""
+
+    sql["lineitem_rollup"] = """
+SELECT l_returnflag, l_linestatus,
+       sum(l_quantity) AS sum_qty,
+       CAST(count(*) AS BIGINT) AS n
+FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
 """
 
     h = _MD5INT.format(x="media_ref")

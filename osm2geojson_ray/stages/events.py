@@ -557,3 +557,64 @@ def value_lag_delta(events: ray.data.Dataset, num_parts: int = 32) -> ray.data.D
         return from_pandas_clean(df[["event_id", "user_id", "value_delta"]])
 
     return partition_map(events, ["user_id"], num_parts, lagd)
+
+
+def lineitem_rollup(lineitem: ray.data.Dataset) -> ray.data.Dataset:
+    """ROLLUP(l_returnflag, l_linestatus): the 6 base groups + 3
+    returnflag subtotals + 1 grand total (nulls mark rolled-up levels,
+    matching SQL ROLLUP).
+
+    The combiner + single-exchange shape of ``lineitem_pricing_summary``
+    computes the base level; the super-aggregate levels are derived
+    INSIDE the same merged partition from the (bounded) base rows — no
+    extra exchange, and quantities are integer-valued so every level's
+    float sum is order-independent (bit-stable vs the oracle).  The
+    reducer count is fixed at 1: super-aggregates need all base groups
+    together, and the combiner bounds its input at 6 rows per input
+    block at ANY scale."""
+    keys = ["l_returnflag", "l_linestatus"]
+
+    def local(t: pa.Table) -> pa.Table:
+        g = t.group_by(keys).aggregate([("l_quantity", "sum"), ("l_quantity", "count")])
+        return pa.table(
+            {
+                "l_returnflag": g.column("l_returnflag"),
+                "l_linestatus": g.column("l_linestatus"),
+                "sum_qty": g.column("l_quantity_sum").combine_chunks().cast(pa.float64()),
+                "n": g.column("l_quantity_count").combine_chunks().cast(pa.int64()),
+            }
+        )
+
+    def merge(t: pa.Table) -> pa.Table:
+        base = t.group_by(keys).aggregate([("sum_qty", "sum"), ("n", "sum")])
+        base = pa.table(
+            {
+                "l_returnflag": base.column("l_returnflag"),
+                "l_linestatus": base.column("l_linestatus"),
+                "sum_qty": base.column("sum_qty_sum").combine_chunks().cast(pa.float64()),
+                "n": base.column("n_sum").combine_chunks().cast(pa.int64()),
+            }
+        )
+        lvl1 = base.group_by(["l_returnflag"]).aggregate([("sum_qty", "sum"), ("n", "sum")])
+        lvl1 = pa.table(
+            {
+                "l_returnflag": lvl1.column("l_returnflag"),
+                "l_linestatus": pa.nulls(lvl1.num_rows, pa.string()),
+                "sum_qty": lvl1.column("sum_qty_sum").combine_chunks().cast(pa.float64()),
+                "n": lvl1.column("n_sum").combine_chunks().cast(pa.int64()),
+            }
+        )
+        import pyarrow.compute as _pc
+
+        total = pa.table(
+            {
+                "l_returnflag": pa.nulls(1, pa.string()),
+                "l_linestatus": pa.nulls(1, pa.string()),
+                "sum_qty": pa.array([_pc.sum(base.column("sum_qty")).as_py()], pa.float64()),
+                "n": pa.array([_pc.sum(base.column("n")).as_py()], pa.int64()),
+            }
+        )
+        return pa.concat_tables([base, lvl1, total])
+
+    pre = lineitem.map_batches(local, batch_format="pyarrow", zero_copy_batch=True)
+    return partition_map(pre, keys, 1, merge)
