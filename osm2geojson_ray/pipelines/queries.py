@@ -708,6 +708,21 @@ WITH {B},
 SELECT cell_id, CAST(count(*) AS BIGINT) AS n_features FROM cover GROUP BY cell_id
 """
 
+    # the box predicate lives inside an aggregate (not a WHERE) so the
+    # optimizer cannot push it below the parse CTE's guard filters
+    # (a pushed-down lon filter re-orders past the '' guards and the
+    # strict CAST in `nodes` then throws on non-node blobs)
+    sql["bbox_query"] = f"""
+WITH {B},
+{feature_pts_cte}
+SELECT feature_id FROM (
+  SELECT feature_id,
+         max(CASE WHEN lon >= -150.0 AND lon <= -60.0
+                   AND lat >= -70.0 AND lat <= -20.0 THEN 1 ELSE 0 END) AS hit
+  FROM pts GROUP BY feature_id)
+WHERE hit = 1
+"""
+
     s = float(1 << TILE_RES)
     sql["vectorize"] = f"""
 WITH {B},
@@ -964,6 +979,18 @@ FROM mpr r JOIN ringtot t USING (rel_id) JOIN edgecnt e USING (rel_id)
     return sql
 
 
+BBOX_QUERY = (-150.0, -70.0, -60.0, -20.0)  # lon0, lat0, lon1, lat1
+BBOX_RES = 7  # driver-side box cover = (box/cell)^2 cells — keep coarse
+
+
+def q_bbox(sf_dir: str) -> ray.data.Dataset:
+    from ..stages.tiling import bbox_query
+
+    feats = _core(sf_dir, "poi_features").union(_core(sf_dir, "way_features"))
+    lon0, lat0, lon1, lat1 = BBOX_QUERY
+    return bbox_query(feats, lon0, lat0, lon1, lat1, res=BBOX_RES)
+
+
 OSM_QUERIES = {
     "span_stats": q_span_stats,
     "parse_nodes": q_parse_nodes,
@@ -988,4 +1015,6 @@ OSM_QUERIES = {
     # r3: duplicate-id losers (deterministic winner rule shared with
     # joins.on_duplicate='first')
     "rejects_dup_ids": q_rejects_dup_ids,
+    # r3: index-accelerated spatial range query (tile prune + exact verify)
+    "bbox_query": q_bbox,
 }

@@ -738,3 +738,87 @@ def knn_distributed(
         ),
         batch_format="pyarrow",
     )
+
+
+def bbox_query(
+    features: ray.data.Dataset,
+    lon0: float,
+    lat0: float,
+    lon1: float,
+    lat1: float,
+    res: int,
+    num_parts: int = 16,
+) -> ray.data.Dataset:
+    """Index-accelerated spatial range query: features with at least one
+    vertex inside [lon0,lon1]×[lat0,lat1] → (feature_id,).
+
+    Plan: the query box's cell cover at ``res`` (a bounded driver-side
+    grid — box_area / cell_area cells; pick ``res`` so that's small) is
+    the PRUNE set; the vertex-cell tile index is filtered to those cells
+    (sorted-array membership per batch — no shuffle), candidate ids are
+    deduped, and one semi-join + exact vectorized vertex test verifies.
+    The index has no false negatives for the vertex-in-box predicate (a
+    vertex inside the box always lands in a covered cell); the exact
+    test removes edge-cell false positives — index pruning changes I/O,
+    never results.
+    """
+    from ..functions.cells import cell_ids, pack
+    from ..functions.grouping import distinct
+    from ..functions.joins import join_on_unique
+
+    # driver-side: the box's cell range (bounded; document res choice)
+    s = 1 << res
+    ix0 = int(np.clip(np.floor((lon0 + 180.0) / 360.0 * s), 0, s - 1))
+    ix1 = int(np.clip(np.floor((lon1 + 180.0) / 360.0 * s), 0, s - 1))
+    iy0 = int(np.clip(np.floor((lat0 + 90.0) / 180.0 * s), 0, s - 1))
+    iy1 = int(np.clip(np.floor((lat1 + 90.0) / 180.0 * s), 0, s - 1))
+    gx, gy = np.meshgrid(
+        np.arange(ix0, ix1 + 1, dtype=np.int64),
+        np.arange(iy0, iy1 + 1, dtype=np.int64),
+    )
+    qcells = np.sort(pack(gx.ravel(), gy.ravel(), res))
+
+    tiles = vertex_cells(features, res, num_parts=num_parts)
+
+    def prune(t: pa.Table) -> pa.Table:
+        c = np.asarray(t.column("cell_id"))
+        j = np.searchsorted(qcells, c)
+        j = np.minimum(j, len(qcells) - 1)
+        hit = qcells[j] == c
+        return pa.table({"feature_id": t.column("feature_id").filter(pa.array(hit))})
+
+    cand = distinct(
+        tiles.map_batches(prune, batch_format="pyarrow", zero_copy_batch=True),
+        ["feature_id"], num_parts,
+    )
+
+    feat_small = features.map_batches(
+        lambda t: t.select(["feature_id", "xs", "ys"]),
+        batch_format="pyarrow", zero_copy_batch=True,
+    )
+    candidates = join_on_unique(
+        feat_small, cand, "feature_id",
+        pa.schema([("feature_id", pa.string()),
+                   ("xs", pa.list_(pa.float64())), ("ys", pa.list_(pa.float64()))]),
+        pa.schema([("feature_id", pa.string())]),
+        how="semi", num_parts=num_parts, on_duplicate="first",
+    )
+
+    def verify(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"feature_id": pa.array([], pa.string())})
+        xs = t.column("xs").combine_chunks()
+        lens = np.asarray(xs.value_lengths(), dtype=np.int64)
+        x = np.asarray(xs.flatten())
+        y = np.asarray(t.column("ys").combine_chunks().flatten())
+        inside = (x >= lon0) & (x <= lon1) & (y >= lat0) & (y <= lat1)
+        starts = np.cumsum(lens) - lens
+        any_in = np.logical_or.reduceat(
+            np.concatenate([inside, [False]]), np.minimum(starts, len(inside))
+        )[: len(lens)]
+        any_in = any_in & (lens > 0)
+        return pa.table(
+            {"feature_id": t.column("feature_id").filter(pa.array(any_in))}
+        )
+
+    return candidates.map_batches(verify, batch_format="pyarrow", zero_copy_batch=True)

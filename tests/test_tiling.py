@@ -238,3 +238,23 @@ def test_knn_distributed_no_polygons(small_world):
     empty = points.filter(lambda r: False)
     out = knn_distributed(points, empty, k=2, index_res=4, num_parts=2).take_all()
     assert out == []
+
+
+def test_bbox_query_matches_bruteforce(small_corpus_dir):
+    """Tile-index-pruned bbox range query == exact any-vertex-in-box scan."""
+    import numpy as np
+
+    from osm2geojson_ray.pipelines.queries import _core
+    from osm2geojson_ray.stages.tiling import bbox_query
+
+    sf = "/root/testdata/sf0.001"
+    feats = _core(sf, "poi_features").union(_core(sf, "way_features"))
+    B = (-150.0, -70.0, -60.0, -20.0)
+    got = sorted(bbox_query(feats, B[0], B[1], B[2], B[3], res=7).to_pandas().feature_id)
+    t = feats.to_pandas()
+    ref = sorted(
+        r["feature_id"] for _, r in t.iterrows()
+        if ((np.asarray(r["xs"]) >= B[0]) & (np.asarray(r["xs"]) <= B[2])
+            & (np.asarray(r["ys"]) >= B[1]) & (np.asarray(r["ys"]) <= B[3])).any()
+    )
+    assert got == ref and len(got) > 0
