@@ -88,10 +88,14 @@ def main() -> int:
         except Exception:
             pass
 
+    import time
+
     n_fail = 0
+    t_total0 = time.perf_counter()
     for name, fn in queries.items():
         if only and name not in only:
             continue
+        t0 = time.perf_counter()
         try:
             res = fn(sf_dir)
             if hasattr(res, "to_pandas"):
@@ -99,24 +103,30 @@ def main() -> int:
             else:
                 ray_df = pd.DataFrame(res)
         except Exception as e:  # noqa: BLE001
-            print(f"[FAIL] {name}: ray side raised: {e!r}")
+            print(f"[FAIL] {name}: ray side raised: {e!r}", flush=True)
             n_fail += 1
             continue
+        t_ray = time.perf_counter() - t0
         if name not in oracles:
-            print(f"[rows-only] {name}: {len(ray_df)} rows")
+            print(f"[rows-only] {name}: {len(ray_df)} rows (ray {t_ray:.1f}s)",
+                  flush=True)
             continue
+        t0 = time.perf_counter()
         try:
             sql_df = con.execute(oracles[name]).df()
         except Exception as e:  # noqa: BLE001
-            print(f"[FAIL] {name}: oracle raised: {e!r}")
+            print(f"[FAIL] {name}: oracle raised: {e!r}", flush=True)
             n_fail += 1
             continue
+        t_sql = time.perf_counter() - t0
         problems = compare(name, ray_df, sql_df)
+        timing = f"(ray {t_ray:.1f}s, sql {t_sql:.1f}s)"
         if problems:
-            print(f"[FAIL] {name}: " + "; ".join(problems))
+            print(f"[FAIL] {name}: " + "; ".join(problems) + f" {timing}", flush=True)
             n_fail += 1
         else:
-            print(f"[ok] {name}: {len(ray_df)} rows")
+            print(f"[ok] {name}: {len(ray_df)} rows {timing}", flush=True)
+    print(f"TOTAL {time.perf_counter() - t_total0:.1f}s", flush=True)
     ray.shutdown()
     return 1 if n_fail else 0
 
