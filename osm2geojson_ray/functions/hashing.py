@@ -28,6 +28,35 @@ def md5int60(s: str) -> int:
     return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
 
 
+def md5int60_batch(strs) -> "np.ndarray":  # noqa: F821 — numpy imported lazily
+    """Vectorized-ish md5int60 over an iterable of strings: one tight
+    C-backed loop, int64 out.  Callers should pass DISTINCT strings (from
+    a dictionary-encode) — that is where the batch win comes from: the
+    md5 bill drops from per-token-instance to per-distinct-token."""
+    import numpy as np
+
+    md5 = hashlib.md5
+    return np.fromiter(
+        (int(md5(s.encode()).hexdigest()[:15], 16) for s in strs),
+        dtype=np.int64,
+        count=len(strs),
+    )
+
+
+# shingle-hash composition constants (r4): a 3-token shingle hashes as
+# (h1*SHINGLE_C1 + h2*SHINGLE_C2 + h3) % MOD with h_i = md5int60(tok_i)
+# % MOD — so the md5 bill is per DISTINCT TOKEN (vectorizable via
+# dictionary-encode), not per shingle instance, while staying exactly
+# SQL-replicable (the oracle composes the same arithmetic over
+# list_zip'd token-hash lists).  Fixed arbitrary constants < MOD; the
+# collision rate of the composition is ~1/MOD per distinct pair, the
+# same order as the previous md5(shingle-string) % MOD mapping, and
+# both engine and oracle dedup shingles on the COMPOSED value so the
+# two sides can never disagree.
+SHINGLE_C1 = 774_856_843
+SHINGLE_C2 = 386_217_529
+
+
 def tokens(text: str) -> list[str]:
     """Whitespace tokens, split on single space — matches DuckDB
     string_split(text, ' ') exactly (no regex, no collapsing)."""
@@ -41,10 +70,27 @@ def shingles(text: str, k: int = SHINGLE_K) -> list[str]:
     return [" ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)]
 
 
+def shingle_hashes(text: str) -> list[int]:
+    """Composed 3-token shingle hashes (see SHINGLE_C1/C2 note).  Docs
+    with fewer than SHINGLE_K tokens fall back to one whole-text hash —
+    for <3 tokens ``' '.join(tokens)`` IS the text (split is lossless),
+    so md5int60(text) equals the old md5(single-shingle-string) exactly.
+    Scalar reference twin of the vectorized kernel in
+    stages/dedup.minhash_signatures."""
+    toks = tokens(text)
+    if len(toks) < SHINGLE_K:
+        return [md5int60(text) % MOD]
+    th = [md5int60(t) % MOD for t in toks]
+    return [
+        (th[i] * SHINGLE_C1 + th[i + 1] * SHINGLE_C2 + th[i + 2]) % MOD
+        for i in range(len(th) - SHINGLE_K + 1)
+    ]
+
+
 def minhash_signature(text: str) -> list[int]:
-    """16 minhash values over 3-token shingles: min((a*x'+b) % p) with
-    x' = md5int60(shingle) % p."""
-    xs = [md5int60(s) % MOD for s in set(shingles(text))]
+    """16 minhash values over composed 3-token shingle hashes:
+    min((a*x+b) % p) over distinct x = shingle_hashes(text)."""
+    xs = set(shingle_hashes(text))
     if not xs:
         return [MOD] * N_PERM
     return [min((a * x + b) % MOD for x in xs) for a, b in zip(PERM_A, PERM_B)]

@@ -81,17 +81,27 @@ def _unique_order(
     be unique per key: searchsorted alignment would otherwise silently
     match one arbitrary copy (the reference merge-join iterates all
     same-key entries — EntryJoiningIterable.java).  Duplicate element ids
-    (same node/way/rel in two shards) are a corpus defect; the two
-    documented routes (ADVICE r2 #2):
+    (same node/way/rel in two shards) are a corpus defect; the three
+    documented routes (ADVICE r2 #2, r3 #1/#2):
 
     * ``on_duplicate='error'`` (default): fail loudly and
       deterministically instead of emitting run-dependent output.
     * ``on_duplicate='first'``: keep ONE deterministic winner per key —
       the copy with the smallest content digest (md5 of the row's sorted
       items), which is independent of shard/block arrival order — and
-      drop the rest from the join.  Pair with
-      ``stages.parse.duplicate_id_rejects`` to surface the losers in the
-      rejects table.
+      drop the rest from the join.  NOTE: this is the JOIN's own rule,
+      NOT the rule ``stages.parse.duplicate_id_rejects`` uses — that
+      stage sees the raw blobs and ranks by (md5(xml), doc_id,
+      span_idx).  The two agree whenever same-id copies parse to
+      identical rows (the only case observed in corpora); for a join
+      over a parsed table whose same-id copies DIFFER, pairing with the
+      rejects report requires threading an explicit digest column (e.g.
+      md5(xml)) through the join instead of relying on 'first'.
+    * ``on_duplicate='any'``: keep an arbitrary (run-deterministic
+      within a partitioning, but partition-arrival-dependent) copy with
+      NO digest work — only valid when the unique side is keys-only
+      (semi/anti existence filters), where the winner's payload never
+      reaches the output so the choice is unobservable.
     """
     order = np.argsort(uk, kind="stable")
     uk_sorted = uk[order]
@@ -107,8 +117,14 @@ def _unique_order(
             "dedup the input (e.g. functions.grouping.distinct) first, "
             "or pass on_duplicate='first' to keep a deterministic winner"
         )
+    if on_duplicate == "any":
+        first = np.ones(len(uk_sorted), dtype=bool)
+        first[1:] = ~eq
+        return order[first], uk_sorted[first]
     if on_duplicate != "first":
-        raise ValueError(f"on_duplicate must be 'error' or 'first', got {on_duplicate!r}")
+        raise ValueError(
+            f"on_duplicate must be 'error', 'first' or 'any', got {on_duplicate!r}"
+        )
     import hashlib
 
     dup_mask = np.zeros(len(uk_sorted), dtype=bool)

@@ -803,7 +803,8 @@ WHERE CASE WHEN regexp_extract(xml, {id_re}, 1) = '' THEN 'no-id'
 
     # duplicate-id losers: everything but the deterministic winner per
     # (kind, id) — winner = smallest (md5(xml), doc_id, span_idx), the
-    # same rule the engine's joins use for on_duplicate='first'
+    # rejects stage's rule (stages/parse.duplicate_id_rejects; the join's
+    # on_duplicate='first' ranks by parsed-row digest — see its docstring)
     sql["rejects_dup_ids"] = f"""
 WITH {B},
 typed AS (
@@ -1012,8 +1013,8 @@ OSM_QUERIES = {
     "relation_features": q_relation_features,
     "pip_assign": q_pip,
     "rejects": q_rejects,
-    # r3: duplicate-id losers (deterministic winner rule shared with
-    # joins.on_duplicate='first')
+    # r3: duplicate-id losers (deterministic (md5(xml), doc_id, span_idx)
+    # winner rule — the rejects stage's own; see duplicate_id_rejects)
     "rejects_dup_ids": q_rejects_dup_ids,
     # r3: index-accelerated spatial range query (tile prune + exact verify)
     "bbox_query": q_bbox,

@@ -161,25 +161,43 @@ def q_streaming_window(sf_dir: str):
     log segments are derived deterministically from the events table
     (ts-ordered, 6 segments) — harness setup standing in for the
     production sequence of log files; the OPERATOR is
-    stages.streaming.streaming_windowed_agg."""
+    stages.streaming.streaming_windowed_agg.
+
+    The segments are produced by RAY (sort → repartition(6) →
+    write_parquet), never via a driver-side to_pandas (VERDICT r3 #7):
+    a sorted dataset's order-preserving repartition yields contiguous
+    ts ranges, and segment ORDER is recovered from the parquet footer
+    min-ts statistics (no filename-format assumption) — the watermark
+    invariant (later segments never contain already-finalized windows)
+    only needs that range ordering."""
+    import glob
     import hashlib
-    import os
+    import shutil
 
     import pyarrow.parquet as pq
 
+    import ray.data
+
     from ..stages.streaming import streaming_windowed_agg
 
-    t = pq.read_table(f"{sf_dir}/events.parquet", columns=["user_id", "ts", "value"])
-    df = t.to_pandas().sort_values(["ts", "user_id"]).reset_index(drop=True)
     seg_dir = f"/tmp/osmray_evlog/{hashlib.md5(sf_dir.encode()).hexdigest()[:8]}"
-    os.makedirs(seg_dir, exist_ok=True)
-    paths = []
-    k = 6
-    for i in range(k):
-        seg = df.iloc[i * len(df) // k : (i + 1) * len(df) // k]
-        p = f"{seg_dir}/seg-{i}.parquet"
-        pq.write_table(pa.Table.from_pandas(seg, preserve_index=False), p)
-        paths.append(p)
+    shutil.rmtree(seg_dir, ignore_errors=True)
+    (
+        ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id", "ts", "value"])
+        .sort(["ts", "user_id"])
+        .repartition(6)
+        .write_parquet(seg_dir)
+    )
+
+    def _seg_key(p: str):
+        import datetime
+
+        md = pq.ParquetFile(p).metadata
+        ts_idx = {md.schema.column(i).name: i for i in range(md.num_columns)}["ts"]
+        mins = [md.row_group(g).column(ts_idx).statistics.min for g in range(md.num_row_groups)]
+        return (min(mins) if mins else datetime.datetime.max, p)
+
+    paths = sorted(glob.glob(f"{seg_dir}/*.parquet"), key=_seg_key)
     out = streaming_windowed_agg(paths, num_buckets=4)
     ws = out.column("window_start").cast(pa.timestamp("s")).cast(pa.int64())
     return pa.table(
@@ -287,7 +305,21 @@ def q_orders_topn(sf_dir: str):
     cust = _read_clean(
         f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_mktsegment"]
     )
-    return R.orders_revenue_topn(li, orders, cust)
+    out = R.orders_revenue_topn(li, orders, cust)
+
+    # epochify: raw timestamp columns don't hash stably across the
+    # engine/DuckDB representation boundary (r3's one red driver row);
+    # emit microseconds-since-epoch BIGINT like q_events_window does.
+    def epochify(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "o_orderkey": t.column("o_orderkey"),
+                "o_orderdate": t.column("o_orderdate").combine_chunks().cast(pa.int64()),
+                "revenue_c": t.column("revenue_c"),
+            }
+        )
+
+    return out.map_batches(epochify, batch_format="pyarrow", zero_copy_batch=True)
 
 
 def q_customer_enrich(sf_dir: str):
@@ -329,7 +361,22 @@ def q_asof_join(sf_dir: str):
         f"{sf_dir}/events.parquet",
         columns=["event_id", "ts", "user_id", "event_type"],
     )
-    return EV.asof_join(ev)
+    out = EV.asof_join(ev)
+
+    # epochify both timestamp outputs (same hash-stability rationale as
+    # q_orders_topn; matched_ts is nullable and the cast keeps nulls)
+    def epochify(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "event_id": t.column("event_id"),
+                "user_id": t.column("user_id"),
+                "ts": t.column("ts").combine_chunks().cast(pa.int64()),
+                "matched_event_id": t.column("matched_event_id"),
+                "matched_ts": t.column("matched_ts").combine_chunks().cast(pa.int64()),
+            }
+        )
+
+    return out.map_batches(epochify, batch_format="pyarrow", zero_copy_batch=True)
 
 
 def q_band_join(sf_dir: str):
@@ -364,6 +411,18 @@ def q_hll_users(sf_dir: str):
 
 
 TRAINING_QUERIES = {
+    # the r3 driver cut off at registry position 50, leaving the then-last
+    # five entries without a correctness row — so the entries that missed
+    # r3 now run FIRST in the training block, and nothing load-bearing
+    # sits at the tail
+    "docs_above_median": q_docs_above_median,
+    "vocab_topk": q_vocab_topk,
+    # approximate by design, but seeded/deterministic → both oracle-backed
+    # (LSH: seeded planes as SQL literals; IVF: sample-trained centroids
+    # re-derived by the oracle generator and inlined as SQL literals)
+    "ann_lsh": q_ann_lsh,
+    "ann_ivf": q_ann_ivf,
+    "ann_ivf_persisted": q_ann_ivf_persisted,
     "token_stats": q_token_stats,
     "text_quality": q_quality,
     "lang_id": q_lang_id,
@@ -394,14 +453,6 @@ TRAINING_QUERIES = {
     "media_frames": q_media_frames,
     "media_embed": q_media_embed,
     "orders_no_lineitems": q_orders_no_lineitems,
-    "docs_above_median": q_docs_above_median,
-    "vocab_topk": q_vocab_topk,
-    # approximate by design, but seeded/deterministic → both oracle-backed
-    # (LSH: seeded planes as SQL literals; IVF: sample-trained centroids
-    # re-derived by the oracle generator and inlined as SQL literals)
-    "ann_lsh": q_ann_lsh,
-    "ann_ivf": q_ann_ivf,
-    "ann_ivf_persisted": q_ann_ivf_persisted,
 }
 
 
@@ -439,7 +490,14 @@ sh AS (SELECT doc_id, CAST({bits} AS BIGINT) AS simhash FROM votes)
 
 
 def _minhash_sig_sql() -> str:
-    x = _MD5INT.format(x="s") + f" % {H.MOD}"
+    # composed shingle hash (r4, lockstep with hashing.shingle_hashes):
+    # per-token th = md5int60(tok) % MOD, shingle x = (th1*C1 + th2*C2 +
+    # th3) % MOD over 3-token windows (list_zip pads the tail with NULLs
+    # -> NULL arithmetic -> filtered); < SHINGLE_K tokens falls back to
+    # md5int60(text) % MOD (split is lossless, so join(tokens) == text)
+    tok_h = _MD5INT.format(x="t") + f" % {H.MOD}"
+    text_h = _MD5INT.format(x="text") + f" % {H.MOD}"
+    c1, c2 = H.SHINGLE_C1, H.SHINGLE_C2
     sig_exprs = ",\n    ".join(
         f"list_aggregate(list_transform(xs, x -> ({a} * x + {b}) % {H.MOD}), 'min') AS s{i}"
         for i, (a, b) in enumerate(zip(H.PERM_A, H.PERM_B))
@@ -454,8 +512,18 @@ def _minhash_sig_sql() -> str:
         for b in range(H.N_BANDS)
     )
     return f"""
-shing AS (SELECT doc_id, list_distinct({_SHINGLES}) AS shs FROM documents),
-xs_t AS (SELECT doc_id, list_transform(shs, s -> {x}) AS xs FROM shing),
+th_t AS (
+  SELECT doc_id, text, {_NTOK} AS ntok,
+         list_transform({_TOKS}, t -> {tok_h}) AS th
+  FROM documents),
+xs_t AS (
+  SELECT doc_id,
+         CASE WHEN ntok < {H.SHINGLE_K} THEN [{text_h}]
+              ELSE list_distinct(list_filter(
+                     list_transform(list_zip(th, th[2:], th[3:]),
+                       z -> (z[1] * {c1} + z[2] * {c2} + z[3]) % {H.MOD}),
+                     x -> x IS NOT NULL)) END AS xs
+  FROM th_t),
 sigs AS (SELECT doc_id, {sig_exprs} FROM xs_t),
 bands AS (
   {band_rows}
@@ -528,7 +596,8 @@ sel AS (
    AND o.o_orderdate < TIMESTAMP '1998-01-01'
   JOIN customer c ON o.o_custkey = c.c_custkey
    AND c.c_mktsegment = 'BUILDING')
-SELECT * FROM sel ORDER BY revenue_c DESC, o_orderkey LIMIT 10
+SELECT o_orderkey, CAST(epoch_us(o_orderdate) AS BIGINT) AS o_orderdate, revenue_c
+FROM sel ORDER BY revenue_c DESC, o_orderkey LIMIT 10
 """
 
     sql["customer_enrich"] = """
@@ -539,8 +608,9 @@ JOIN region ON n_regionkey = r_regionkey
 """
 
     sql["asof_join"] = """
-SELECT l.event_id, l.user_id, l.ts,
-       r.event_id AS matched_event_id, r.ts AS matched_ts
+SELECT l.event_id, l.user_id, CAST(epoch_us(l.ts) AS BIGINT) AS ts,
+       r.event_id AS matched_event_id,
+       CAST(epoch_us(r.ts) AS BIGINT) AS matched_ts
 FROM (SELECT * FROM events WHERE event_type = 'purchase') l
 ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') r
   ON l.user_id = r.user_id AND l.ts >= r.ts

@@ -160,8 +160,17 @@ def asof_join(
                  "matched_event_id": pa.array([], pa.int64()),
                  "matched_ts": pa.array([], pa.timestamp("us"))}
             )
-        ld = lt.to_pandas().sort_values("ts", kind="mergesort")
-        rd = rt.to_pandas().sort_values("matched_ts", kind="mergesort")
+        # secondary sort keys make the tie winner deterministic:
+        # merge_asof picks the LAST right row in sort order, so among
+        # right events sharing (user_id, matched_ts) the highest
+        # matched_event_id wins — stable across runs and partitionings.
+        # (DuckDB's ASOF picks an arbitrary tied row; the driver corpus
+        # has no tied (user_id, ts) pairs, so the oracle can't flake —
+        # documented divergence if ties ever appear.)
+        ld = lt.to_pandas().sort_values(["ts", "event_id"], kind="mergesort")
+        rd = rt.to_pandas().sort_values(
+            ["matched_ts", "matched_event_id"], kind="mergesort"
+        )
         m = pd.merge_asof(
             ld, rd, left_on="ts", right_on="matched_ts", by="user_id",
             direction="backward", allow_exact_matches=True,
@@ -200,13 +209,28 @@ def band_join_count(
     skew ⇒ hot buckets — shrink delta or sub-salt buckets).  A second
     tiny exchange (<= 3 partial rows per probe event) merges replica
     counts.
+
+    Domain: requires ``abs(value) < 2**52 * delta``.  Bucket ids come
+    from float division, and the ±1 probe replication relies on
+    ``|floor(lv/delta) - floor(rv/delta)| <= 1`` whenever
+    ``|lv - rv| <= delta``; once ``ulp(v/delta) >= 2`` (i.e.
+    ``|v|/delta >= 2**52``) matching pairs can land >= 2 buckets apart
+    and would be silently dropped — so the kernel checks the domain per
+    batch and raises instead of under-counting.
     """
+    _dom = 2.0**52 * delta
 
     def side(tp: str, probe: bool):
         def _f(t: pa.Table) -> pa.Table:
             keep = pc.equal(t.column("event_type"), tp)
             t = t.filter(keep).select(["event_id", "value"])
             v = np.asarray(t.column("value"))
+            if v.size and float(np.max(np.abs(v))) >= _dom:
+                raise ValueError(
+                    f"band_join_count: |value| >= 2**52 * delta ({_dom:g}) — "
+                    "bucket ids lose integer resolution and the ±1 probe "
+                    "replication would drop matches; rescale values or delta"
+                )
             b = np.floor(v / delta).astype(np.int64)
             if not probe:
                 return t.rename_columns(["b_event_id", "b_value"]).append_column(

@@ -290,13 +290,16 @@ def duplicate_id_rejects(elements: ray.data.Dataset, num_parts: int = 64) -> ray
     shards — surfaced as reject rows: every copy EXCEPT the deterministic
     winner becomes (doc_id, span_idx, kind, elem_id, reason='duplicate-id').
 
-    Winner rule (shared with ``functions.joins`` ``on_duplicate='first'``):
-    smallest (md5(xml), doc_id, span_idx) — independent of shard/block
-    arrival order.  Hash-partitioned on (kind, elem_id) so only same-key
-    copies co-locate; digesting happens only inside duplicated groups.
-    Complements ``_unique_order``'s keep-first mode: the join keeps the
-    winner, this stage reports the losers (OsmJoin problem-file spirit,
-    OsmJoin.java:111-113)."""
+    Winner rule: smallest (md5(xml), doc_id, span_idx) — independent of
+    shard/block arrival order.  Hash-partitioned on (kind, elem_id) so
+    only same-key copies co-locate; digesting happens only inside
+    duplicated groups.  NOTE this rule is THIS stage's own — the join's
+    ``on_duplicate='first'`` ranks by a digest of the PARSED row (see
+    ``functions.joins._unique_order``); the two coincide whenever
+    same-id copies parse identically (the observed corpus-defect case),
+    but a corpus whose same-id copies differ post-parse needs the xml
+    digest threaded through the join for the winner/losers pairing to
+    hold (OsmJoin problem-file spirit, OsmJoin.java:111-113)."""
     from ..functions.grouping import partition_map
 
     def prep(batch: pa.Table) -> pa.Table:

@@ -30,7 +30,7 @@ import ray
 import ray.data
 
 from ..functions.grouping import partition_map
-from ..functions.joins import join_on_unique
+from ..functions.joins import cogroup_apply, join_on_unique, join_unique_np
 
 REV_SCHEMA = pa.schema([("o_orderkey", pa.int64()), ("revenue_c", pa.int64())])
 TOPN_SCHEMA = pa.schema(
@@ -87,10 +87,35 @@ def orders_revenue_topn(
 ) -> ray.data.Dataset:
     """Top-``top_n`` orders by revenue among orders placed before
     ``cutoff`` by customers in ``segment`` — (o_orderkey, o_orderdate,
-    revenue_c), revenue over ALL the order's lineitems."""
+    revenue_c), revenue over ALL the order's lineitems.
+
+    TWO exchanges total (r4; was four — each ``partition_map`` is a
+    sort+coalesce all-to-all, and the fixed per-exchange cost dominated
+    the query at small scale while extra exchanges are pure waste at
+    any scale):
+
+    1. lineitem's per-block revenue partials and the filtered orders
+       are co-partitioned on ``o_orderkey`` in ONE tagged-union
+       exchange; inside each partition the partials merge (final
+       per-order sums) and immediately join the unique orders side.
+    2. the re-key on ``o_custkey`` co-partitions that result with the
+       segment's keys-only customer side; the semi-join AND the local
+       top-N both happen inside the partition, so at most ``top_n``
+       rows per partition reach the single-block final merge.
+    """
     cut = np.datetime64(cutoff, "us")
 
-    rev = order_revenue(lineitem, num_parts=num_parts)
+    def rev_local(t: pa.Table) -> pa.Table:
+        ep = np.asarray(t.column("l_extendedprice"))
+        disc = np.asarray(t.column("l_discount"))
+        rev = _round_half_up_cents(ep) * (100 - _round_half_up_cents(disc))
+        tb = pa.table(
+            {"o_orderkey": t.column("l_orderkey"), "revenue_c": pa.array(rev)}
+        )
+        return _rev_shape(tb.group_by(["o_orderkey"]).aggregate([("revenue_c", "sum")]),
+                          "revenue_c_sum")
+
+    pre = lineitem.map_batches(rev_local, batch_format="pyarrow", zero_copy_batch=True)
 
     def orders_filter(t: pa.Table) -> pa.Table:
         keep = pc.less(t.column("o_orderdate"), pa.scalar(cut, pa.timestamp("us")))
@@ -101,9 +126,19 @@ def orders_revenue_topn(
         [("o_orderkey", pa.int64()), ("o_custkey", pa.int64()),
          ("o_orderdate", pa.timestamp("us"))]
     )
-    with_orders = join_on_unique(
-        rev, orders_f, "o_orderkey", REV_SCHEMA, orders_schema,
-        how="inner", num_parts=num_parts,
+
+    def merge_join(lt: pa.Table, rt: pa.Table) -> pa.Table:
+        merged = _rev_shape(
+            lt.group_by(["o_orderkey"]).aggregate([("revenue_c", "sum")]),
+            "revenue_c_sum",
+        )
+        return join_unique_np(
+            merged, rt, "o_orderkey", ["revenue_c"], ["o_custkey", "o_orderdate"]
+        )
+
+    with_orders = cogroup_apply(
+        pre, orders_f, "o_orderkey", REV_SCHEMA, orders_schema,
+        merge_join, num_parts=num_parts,
     )
 
     def cust_filter(t: pa.Table) -> pa.Table:
@@ -114,11 +149,6 @@ def orders_revenue_topn(
     joined_schema = pa.schema(
         [("o_orderkey", pa.int64()), ("revenue_c", pa.int64()),
          ("o_custkey", pa.int64()), ("o_orderdate", pa.timestamp("us"))]
-    )
-    # unique side carries ONLY the key -> pure semijoin, no payload moves
-    semi = join_on_unique(
-        with_orders, cust_f, "o_custkey", joined_schema,
-        pa.schema([("o_custkey", pa.int64())]), how="inner", num_parts=num_parts,
     )
 
     def local_topn(t: pa.Table) -> pa.Table:
@@ -138,11 +168,22 @@ def orders_revenue_topn(
              "revenue_c": taken.column("revenue_c")}
         )
 
-    # per-block top-N (≤ top_n rows leave any block) → one-block final merge
-    return (
-        semi.map_batches(local_topn, batch_format="pyarrow", zero_copy_batch=True)
-        .repartition(1)
-        .map_batches(local_topn, batch_format="pyarrow", zero_copy_batch=True)
+    def semi_topn(lt: pa.Table, rt: pa.Table) -> pa.Table:
+        ck = np.asarray(lt.column("o_custkey")) if lt.num_rows else np.empty(0, np.int64)
+        keys = np.unique(np.asarray(rt.column("o_custkey"))) if rt.num_rows else np.empty(0, np.int64)
+        if len(keys) == 0 or len(ck) == 0:
+            return local_topn(lt.slice(0, 0))
+        pos = np.minimum(np.searchsorted(keys, ck), len(keys) - 1)
+        return local_topn(lt.filter(pa.array(keys[pos] == ck)))
+
+    # re-key exchange fuses semi-join + per-partition top-N (≤ top_n rows
+    # leave any partition) → one-block final merge
+    sel = cogroup_apply(
+        with_orders, cust_f, "o_custkey", joined_schema,
+        pa.schema([("o_custkey", pa.int64())]), semi_topn, num_parts=num_parts,
+    )
+    return sel.repartition(1).map_batches(
+        local_topn, batch_format="pyarrow", zero_copy_batch=True
     )
 
 
@@ -248,10 +289,13 @@ def orders_without_lineitems(
 
     The build side is keys-only (l_orderkey), pre-deduped per block with
     a zero-exchange combiner: existence filters don't need a global
-    distinct, duplicates across blocks are resolved by the join's
-    deterministic ``on_duplicate='first'`` (payload-free, so the winner
-    is irrelevant).  One hash exchange total, key bytes only on the
-    build side."""
+    distinct, and cross-block duplicate keys are collapsed by the join's
+    ``on_duplicate='any'`` (np.unique on the key array, zero digest
+    work — a keys-only build side makes the winner unobservable, and
+    cross-block dupes are the COMMON case here, not a corpus defect, so
+    the 'first' digest path would be O(dup rows) of wasted Python per
+    reducer).  One hash exchange total, key bytes only on the build
+    side."""
 
     def key_combiner(t: pa.Table) -> pa.Table:
         k = np.unique(np.asarray(t.column("l_orderkey")))
@@ -262,5 +306,5 @@ def orders_without_lineitems(
         orders, keys, "o_orderkey",
         pa.schema([("o_orderkey", pa.int64()), ("o_orderstatus", pa.string())]),
         pa.schema([("o_orderkey", pa.int64())]),
-        how="anti", num_parts=num_parts, on_duplicate="first",
+        how="anti", num_parts=num_parts, on_duplicate="any",
     )

@@ -534,7 +534,16 @@ def ivf_index_search(
         for p in sorted(glob.glob(f"{index_dir}/lists/shard={s}/*.parquet"))
     ]
     if not paths:
-        return probed.filter(lambda r: False)
+        # empty result must still carry the documented RESULT schema
+        # (query_id, neighbor_id, rnk), not the internal probe schema —
+        # downstream column selection on the empty dataset would fail
+        return ray.data.from_arrow(
+            pa.table(
+                {"query_id": pa.array([], pa.int64()),
+                 "neighbor_id": pa.array([], pa.int64()),
+                 "rnk": pa.array([], pa.int64())}
+            )
+        )
     lists = ray.data.read_parquet(paths, columns=["vec_id", "bucket", "embedding"])
 
     def tag_data(t: pa.Table) -> pa.Table:

@@ -1,9 +1,10 @@
 """Text-analysis operators over a documents table (doc_id, text, lang,
 source, n_chars): token stats, quality scoring, language-ID heuristic,
 document fingerprinting, simhash.  All are ``map_batches`` kernels;
-string-heavy counting uses pyarrow compute regex kernels, the crypto-hash
-ops (fingerprint/simhash/minhash) are per-token by nature — the hash is
-the work, not Python overhead."""
+string-heavy counting uses pyarrow compute regex kernels, and the
+crypto-hash ops (fingerprint/simhash/minhash) hash once per DISTINCT
+token per batch (dictionary-encode + gather, ``token_hash_flat``) — r4:
+the md5 bill is no longer per token instance."""
 
 from __future__ import annotations
 
@@ -97,34 +98,63 @@ def lang_id_batch(t: pa.Table) -> pa.Table:
     )
 
 
+def token_hash_flat(text_col: pa.ChunkedArray) -> tuple[np.ndarray, np.ndarray]:
+    """(lens, th60): per-row token counts and the flattened per-token
+    md5int60 values, in document order.
+
+    The r4 hot-loop fix (VERDICT r3 #4): md5 runs once per DISTINCT
+    token of the batch (Arrow split → flatten → dictionary-encode), then
+    the per-instance values are a pure int64 gather by dictionary code —
+    the dominant per-token Python+crypto cost of the fingerprint /
+    simhash / minhash family drops from O(token instances) to
+    O(distinct tokens)."""
+    if isinstance(text_col, pa.ChunkedArray):
+        text_col = text_col.combine_chunks()
+    split = pc.split_pattern(text_col, " ")
+    lens = np.asarray(split.value_lengths(), dtype=np.int64)
+    flat = split.flatten().dictionary_encode()
+    if len(flat) == 0:
+        return lens, np.zeros(0, np.int64)
+    uniq = np.asarray(flat.dictionary.to_pandas(), dtype=object)
+    hu = H.md5int60_batch(uniq)
+    codes = np.asarray(flat.indices, dtype=np.int64)
+    return lens, hu[codes]
+
+
+def _row_starts(lens: np.ndarray) -> np.ndarray:
+    return np.cumsum(lens) - lens
+
+
 def fingerprint_batch(t: pa.Table) -> pa.Table:
-    texts = t.column("text").to_pylist()
+    """Positional fingerprint, vectorized: sum_i (md5int60(tok_i) % p) * i
+    per doc (i 1-based) — md5 per distinct token, one reduceat per batch.
+    Scalar twin: functions.hashing.fingerprint."""
+    lens, th = token_hash_flat(t.column("text").combine_chunks())
+    if len(th) == 0:
+        return pa.table(
+            {"doc_id": t.column("doc_id"),
+             "fp": pa.array(np.zeros(len(lens), np.int64), pa.int64())}
+        )
+    starts = _row_starts(lens)
+    pos = np.arange(len(th), dtype=np.int64) - np.repeat(starts, lens) + 1
+    contrib = (th % H.MOD) * pos
+    fp = np.add.reduceat(contrib, np.minimum(starts, len(th) - 1))
+    fp[lens == 0] = 0
     return pa.table(
-        {
-            "doc_id": t.column("doc_id"),
-            "fp": pa.array([H.fingerprint(s) for s in texts], pa.int64()),
-        }
+        {"doc_id": t.column("doc_id"), "fp": pa.array(fp, pa.int64())}
     )
 
 
-def simhash60_values(texts: list[str]) -> np.ndarray:
-    """Vectorized 60-bit simhash for a batch: the md5 per token is the
-    inherent cost; the per-bit voting runs as one numpy pass over all
-    tokens of the batch (reduceat by row) instead of a per-token loop."""
-    hashes: list[int] = []
-    offsets = [0]
-    for s in texts:
-        hashes.extend(H.md5int60(tok) for tok in H.tokens(s))
-        offsets.append(len(hashes))
-    if not hashes:
-        return np.zeros(len(texts), dtype=np.int64)
-    h = np.asarray(hashes, dtype=np.uint64)
+def _simhash_from_flat(lens: np.ndarray, th: np.ndarray) -> np.ndarray:
+    if len(th) == 0:
+        return np.zeros(len(lens), dtype=np.int64)
+    h = th.astype(np.uint64)
     bits = ((h[:, None] >> np.arange(H.SIMHASH_BITS, dtype=np.uint64)[None, :]) & 1).astype(
         np.int32
     )
     contrib = 2 * bits - 1
-    starts = np.asarray(offsets[:-1], dtype=np.int64)
-    empty = np.asarray(offsets[1:]) == starts  # rows with no tokens
+    starts = _row_starts(lens)
+    empty = lens == 0  # rows with no tokens
     votes = np.add.reduceat(contrib, np.minimum(starts, len(h) - 1), axis=0)
     votes[empty] = 0  # reduceat gives garbage for empty segments; zero them
     sim = ((votes > 0).astype(np.uint64) << np.arange(H.SIMHASH_BITS, dtype=np.uint64)[None, :]).sum(
@@ -133,12 +163,22 @@ def simhash60_values(texts: list[str]) -> np.ndarray:
     return sim.astype(np.int64)
 
 
+def simhash60_col(text_col: pa.ChunkedArray) -> np.ndarray:
+    """Vectorized 60-bit simhash for a batch: md5 once per distinct token
+    (token_hash_flat), per-bit voting as one numpy reduceat pass."""
+    return _simhash_from_flat(*token_hash_flat(text_col))
+
+
+def simhash60_values(texts: list[str]) -> np.ndarray:
+    """List-of-str convenience wrapper over simhash60_col."""
+    return simhash60_col(pa.chunked_array([pa.array(texts, pa.string())]))
+
+
 def simhash_batch(t: pa.Table) -> pa.Table:
-    texts = t.column("text").to_pylist()
     return pa.table(
         {
             "doc_id": t.column("doc_id"),
-            "simhash": pa.array(simhash60_values(texts), pa.int64()),
+            "simhash": pa.array(simhash60_col(t.column("text").combine_chunks()), pa.int64()),
         }
     )
 

@@ -801,7 +801,7 @@ def bbox_query(
         pa.schema([("feature_id", pa.string()),
                    ("xs", pa.list_(pa.float64())), ("ys", pa.list_(pa.float64()))]),
         pa.schema([("feature_id", pa.string())]),
-        how="semi", num_parts=num_parts, on_duplicate="first",
+        how="semi", num_parts=num_parts, on_duplicate="any",
     )
 
     def verify(t: pa.Table) -> pa.Table:

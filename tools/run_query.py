@@ -62,7 +62,7 @@ def main() -> int:
 
         import __ray_entry__ as e
 
-        reg = e.queries()
+        reg = e.queries(full=True)
         if args.query not in reg:
             print(
                 f"unknown query {args.query!r}; available: {sorted(reg)}",

@@ -76,7 +76,8 @@ def main() -> int:
     sys.path.insert(0, ".")
     import __ray_entry__ as E
 
-    queries = E.queries()
+    # explicit names may name consolidated (non-driver-view) queries
+    queries = E.queries(full=bool(only))
     oracles = E.oracle_sql()
     con = duckdb.connect()
     for t in ["region", "nation", "customer", "supplier", "part", "orders",
