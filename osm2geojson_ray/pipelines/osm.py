@@ -50,23 +50,72 @@ def _max_list_len(ds: ray.data.Dataset, col: str) -> int:
     return max((r["m"] for r in ds.map_batches(m, batch_format="pyarrow").take_all()), default=0)
 
 
+def _max_member_fanins(relations: ray.data.Dataset) -> tuple[int, int]:
+    """(max node-member count, max way-member count) per relation — one
+    vectorized pass (flatten member structs, reduceat per row)."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    def m(t: pa.Table) -> pa.Table:
+        col = t.column("members").combine_chunks()
+        lens = np.asarray(col.value_lengths().fill_null(0), dtype=np.int64)
+        if len(lens) == 0 or lens.sum() == 0:
+            return pa.table({"mn": pa.array([0], pa.int64()),
+                             "mw": pa.array([0], pa.int64())})
+        flat = col.flatten()
+        typ = flat.field("type")
+        starts = np.cumsum(lens) - lens
+        out = []
+        for want in ("node", "way"):
+            is_t = np.asarray(pc.equal(typ, want).fill_null(False)).astype(np.int64)
+            cnt = np.add.reduceat(is_t, np.minimum(starts, len(is_t) - 1))
+            cnt[lens == 0] = 0
+            out.append(int(cnt.max()))
+        return pa.table({"mn": pa.array([out[0]], pa.int64()),
+                         "mw": pa.array([out[1]], pa.int64())})
+
+    rows = relations.map_batches(m, batch_format="pyarrow").take_all()
+    return (max((r["mn"] for r in rows), default=0),
+            max((r["mw"] for r in rows), default=0))
+
+
+def resolve_salts(
+    ways: ray.data.Dataset,
+    relations: ray.data.Dataset,
+    cfg: "OsmPipelineConfig",
+) -> dict[str, int | None]:
+    """Per-STAGE salt decision (r4): ``salt='auto'`` inspects the fan-in
+    of each collect key separately — J2 salts on max len(ns), J4 on the
+    max node-member count, J6 on the max way-member count — because a
+    mega-RELATION must not tax the way-collect with the salted two-phase
+    path (2 exchanges + partial-list concat over the fat complete-way
+    payloads; measured 3× J2 cost when salted needlessly).  Fan-in is
+    knowable BEFORE any join (the skew the reference works around with
+    its 10k bucket size, OsmJoin.java:397-398); salting engages only
+    above ``salt_trigger``, sized so each salted sub-group stays near
+    the trigger."""
+    if cfg.salt != "auto":
+        return {"j2": cfg.salt, "j4": cfg.salt, "j6": cfg.salt}
+
+    def pick(biggest: int) -> int | None:
+        if biggest <= cfg.salt_trigger:
+            return None
+        return int(min(256, -(-biggest // cfg.salt_trigger) * 2))
+
+    mn, mw = _max_member_fanins(relations)
+    return {"j2": pick(_max_list_len(ways, "ns")), "j4": pick(mn), "j6": pick(mw)}
+
+
 def resolve_salt(
     ways: ray.data.Dataset,
     relations: ray.data.Dataset,
     cfg: "OsmPipelineConfig",
 ) -> int | None:
-    """``salt='auto'`` → inspect the corpus: group fan-in per key is
-    knowable BEFORE any join (way fan-in = len(ns), relation fan-in =
-    member count — the skew the reference works around with its 10k
-    bucket size, OsmJoin.java:397-398).  Salting engages only above
-    ``salt_trigger``, sized so each salted sub-group stays near the
-    trigger."""
-    if cfg.salt != "auto":
-        return cfg.salt
-    biggest = max(_max_list_len(ways, "ns"), _max_list_len(relations, "members"))
-    if biggest <= cfg.salt_trigger:
-        return None
-    return int(min(256, -(-biggest // cfg.salt_trigger) * 2))
+    """Corpus-wide summary of resolve_salts (max over stages) — kept for
+    reporting and the explicit-salt passthrough contract."""
+    salts = [s for s in resolve_salts(ways, relations, cfg).values() if s]
+    return max(salts) if salts else None
 
 
 def build(
@@ -112,16 +161,16 @@ def build(
     # (too many concurrent operator stages contend); this mirrors the
     # reference's per-stage files and doubles as the checkpoint grain.
     np_ = cfg.num_parts
-    salt = resolve_salt(ways, relations, cfg)
+    salts = resolve_salts(ways, relations, cfg)
     wn = J.j1_way_nodes(nodes, P.way_edges(ways), np_)
     # staged boundaries measured FASTER than a fully lazy DAG at the
     # 600k-doc corpus in both rounds (single-consumer J4 left lazy was
     # ~1.6x slower at 8 CPUs: concurrent operator stages contend)
-    complete_ways = mat("j1_j2_complete_ways", J.j2_complete_ways(ways, wn, np_, salt))
+    complete_ways = mat("j1_j2_complete_ways", J.j2_complete_ways(ways, wn, np_, salts["j2"]))
     rn = J.j3_rel_nodes(nodes, P.node_rel_edges(relations), np_)
-    rwn = mat("j3_j4_rel_with_nodes", J.j4_rel_with_nodes(relations, rn, np_, salt))
+    rwn = mat("j3_j4_rel_with_nodes", J.j4_rel_with_nodes(relations, rn, np_, salts["j4"]))
     rw = J.j5_rel_ways(complete_ways, P.way_rel_edges(relations), np_)
-    complete_rels = mat("j5_j6_complete_relations", J.j6_complete_relations(rwn, rw, np_, salt))
+    complete_rels = mat("j5_j6_complete_relations", J.j6_complete_relations(rwn, rw, np_, salts["j6"]))
     dag = {
         "way_nodes": wn,
         "complete_ways": complete_ways,

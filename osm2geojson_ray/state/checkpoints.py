@@ -122,21 +122,23 @@ def run_checkpointed_flagship(
     relations = cp.stage("relations", lambda: P.parse_relations(elements))
     cp.stage("rejects", lambda: P.parse_rejects(elements))
     if salt == "auto":
-        from ..pipelines.osm import OsmPipelineConfig, resolve_salt
+        from ..pipelines.osm import OsmPipelineConfig, resolve_salts
 
-        salt = resolve_salt(ways, relations, OsmPipelineConfig())
+        salts = resolve_salts(ways, relations, OsmPipelineConfig())
+    else:
+        salts = {"j2": salt, "j4": salt, "j6": salt}
     complete_ways = cp.stage(
         "complete_ways",
-        lambda: J.j2_complete_ways(ways, J.j1_way_nodes(nodes, P.way_edges(ways), num_parts), num_parts, salt),
+        lambda: J.j2_complete_ways(ways, J.j1_way_nodes(nodes, P.way_edges(ways), num_parts), num_parts, salts["j2"]),
     )
     rel_with_nodes = cp.stage(
         "rel_with_nodes",
-        lambda: J.j4_rel_with_nodes(relations, J.j3_rel_nodes(nodes, P.node_rel_edges(relations), num_parts), num_parts, salt),
+        lambda: J.j4_rel_with_nodes(relations, J.j3_rel_nodes(nodes, P.node_rel_edges(relations), num_parts), num_parts, salts["j4"]),
     )
     complete_relations = cp.stage(
         "complete_relations",
         lambda: J.j6_complete_relations(
-            rel_with_nodes, J.j5_rel_ways(complete_ways, P.way_rel_edges(relations), num_parts), num_parts, salt
+            rel_with_nodes, J.j5_rel_ways(complete_ways, P.way_rel_edges(relations), num_parts), num_parts, salts["j6"]
         ),
     )
     features = cp.stage(

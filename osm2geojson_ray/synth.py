@@ -383,3 +383,51 @@ def ensure_corpus(n_docs: int, docs_per_file: int = 2000) -> str:
 
 def ensure_corpus_for_sf(sf_dir: str) -> str:
     return ensure_corpus(sf_to_n_docs(sf_dir))
+
+
+def build_mega_relation_doc(n_docs: int, mega_members: int) -> pa.Table:
+    """One extra document holding a single MEGA relation: ``mega_members``
+    node members cycling the world's node ids, plus two way members and a
+    name tag — so it survives the J4/J6 inner-join drops and its node
+    list stresses the rel_id co-group (SURVEY §7.4 mega-relation skew;
+    the reference's 10k-bucket workaround at OsmJoin.java:397-398)."""
+    s = world_sizes(n_docs)
+    rel_id = REL_ID_BASE + s["n_rels"] + 1000
+    members = [("node", 1 + (i % s["n_nodes"]), "") for i in range(mega_members)]
+    members += [("way", WAY_ID_BASE, ""), ("way", WAY_ID_BASE + 1, "")]
+    tags = [("type", "collection"), ("name", f"Mega {rel_id}")]
+    xml = "\n".join(render_relation(rel_id, members, tags))
+    spans = [{"kind": "osm_xml", "text": xml, "media_ref": "", "offset": 0}]
+    return pa.Table.from_pydict(
+        {"doc_id": ["doc-mega-000000"], "spans": [spans]}, schema=DOCUMENTS
+    )
+
+
+def ensure_corpus_mega(n_docs: int, mega_members: int = 500_000) -> str:
+    """Regular corpus + the mega-relation document, cached like
+    ensure_corpus (bump SYNTH_ROOT version on ANY generator change)."""
+    out_dir = os.path.join(SYNTH_ROOT, f"docs_{n_docs}_mega{mega_members}")
+    done = os.path.join(out_dir, "_SUCCESS")
+    if os.path.exists(done):
+        return out_dir
+    base = ensure_corpus(n_docs)
+    tmp_dir = f"{out_dir}.tmp.{os.getpid()}"
+    os.makedirs(tmp_dir, exist_ok=True)
+    import shutil
+
+    for f in os.listdir(base):
+        if f.endswith(".parquet"):
+            shutil.copy(os.path.join(base, f), os.path.join(tmp_dir, f))
+    pq.write_table(
+        build_mega_relation_doc(n_docs, mega_members),
+        os.path.join(tmp_dir, "part-mega.parquet"),
+    )
+    with open(os.path.join(tmp_dir, "_SUCCESS"), "w") as f:
+        f.write(f"{n_docs}+mega{mega_members}")
+    try:
+        os.rename(tmp_dir, out_dir)
+    except OSError:
+        shutil.rmtree(tmp_dir, ignore_errors=True)
+        if not os.path.exists(done):
+            raise
+    return out_dir
