@@ -251,6 +251,24 @@ def run_queries() -> dict:
             "user_id", "event_type",
         ),
     )
+    from osm2geojson_ray.stages.relational import orders_revenue_topn
+
+    timed(
+        "orders_topn",
+        lambda: orders_revenue_topn(
+            _read_clean(
+                f"{SF_DIR}/lineitem.parquet",
+                columns=["l_orderkey", "l_extendedprice", "l_discount"],
+            ),
+            _read_clean(
+                f"{SF_DIR}/orders.parquet",
+                columns=["o_orderkey", "o_custkey", "o_orderdate"],
+            ),
+            _read_clean(
+                f"{SF_DIR}/customer.parquet", columns=["c_custkey", "c_mktsegment"]
+            ),
+        ),
+    )
     return timings
 
 
