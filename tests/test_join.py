@@ -257,3 +257,31 @@ def test_auto_salt_triggers_on_mega_relation(ray_session):
     # explicit settings pass through untouched
     assert resolve_salt(ways, rels_with(5000), OsmPipelineConfig(salt=None)) is None
     assert resolve_salt(ways, rels_with(50), OsmPipelineConfig(salt=8)) == 8
+
+
+def test_resolve_salts_per_stage(ray_session):
+    """A mega-RELATION must salt only the relation-side collects (J4 from
+    node members, J6 from way members) — never the way collect (r4)."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from osm2geojson_ray.pipelines.osm import OsmPipelineConfig, resolve_salts
+    from osm2geojson_ray.schema import RELATIONS, WAYS
+
+    members = [{"id": i + 1, "type": "node", "role": ""} for i in range(5000)]
+    members += [{"id": 1, "type": "way", "role": ""}]
+    rels = rd.from_arrow(
+        pa.Table.from_pylist(
+            [{"rel_id": 1, "tags": [], "members": members}], schema=RELATIONS
+        )
+    )
+    ways = rd.from_arrow(
+        pa.Table.from_pylist([{"way_id": 1, "tags": [], "ns": [1, 2, 3]}], schema=WAYS)
+    )
+    salts = resolve_salts(ways, rels, OsmPipelineConfig(salt="auto", salt_trigger=1000))
+    assert salts["j2"] is None          # ways are small
+    assert salts["j4"] and salts["j4"] > 1   # 5000 node members > trigger
+    assert salts["j6"] is None          # 1 way member
+    # explicit salt passes through to every stage
+    s = resolve_salts(ways, rels, OsmPipelineConfig(salt=8))
+    assert s == {"j2": 8, "j4": 8, "j6": 8}

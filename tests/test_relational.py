@@ -174,6 +174,13 @@ def test_semi_anti_join_modes():
                           num_parts=4, on_duplicate="first").to_pandas()
     assert sorted(semi.k) == [2, 4] and sorted(anti.k) == [1, 3]
     assert list(semi.columns) == ["k", "v"] == list(anti.columns)
+    # 'any' (r4): keys-only existence filter, identical results with zero
+    # digest work on the duplicated build keys
+    semi_a = join_on_unique(many, uniq, "k", ms, us, how="semi",
+                            num_parts=4, on_duplicate="any").to_pandas()
+    anti_a = join_on_unique(many, uniq, "k", ms, us, how="anti",
+                            num_parts=4, on_duplicate="any").to_pandas()
+    assert sorted(semi_a.k) == [2, 4] and sorted(anti_a.k) == [1, 3]
 
 
 def test_orders_without_lineitems():

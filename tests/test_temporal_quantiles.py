@@ -390,3 +390,64 @@ def test_pivot_and_lag_match_pandas():
     assert got2.value_delta.isna().sum() == want2.value_delta.isna().sum() > 0
     m = got2.value_delta.notna()
     assert np.array_equal(got2.value_delta[m].to_numpy(), want2.value_delta[m].to_numpy())
+
+
+def test_band_join_domain_guard():
+    """|value| >= 2**52 * delta must raise loudly (float bucket ids lose
+    the ±1-replication guarantee there) instead of silently dropping
+    matches (ADVICE r3)."""
+    import pytest
+
+    from osm2geojson_ray.stages.events import band_join_count
+
+    t = pa.table(
+        {
+            "event_id": pa.array([1, 2], pa.int64()),
+            "value": pa.array([2.0**53, 0.5], pa.float64()),
+            "event_type": pa.array(["purchase", "click"]),
+        }
+    )
+    with pytest.raises(Exception) as ei:
+        band_join_count(rd.from_arrow(t), delta=0.5, num_parts=2).take_all()
+    assert "2**52" in str(ei.value)
+
+
+def test_asof_join_tie_winner_deterministic():
+    """Several right events sharing (user_id, matched_ts): the winner is
+    the HIGHEST matched_event_id, on every run/partitioning (ADVICE r3)."""
+    from osm2geojson_ray.stages.events import asof_join
+
+    ts = pd.Timestamp("2024-01-01 12:00:00")
+    rows = [
+        {"event_id": 100, "ts": ts, "user_id": 7, "event_type": "purchase"},
+        # three tied views strictly before/at the purchase ts
+        {"event_id": 11, "ts": ts, "user_id": 7, "event_type": "view"},
+        {"event_id": 13, "ts": ts, "user_id": 7, "event_type": "view"},
+        {"event_id": 12, "ts": ts, "user_id": 7, "event_type": "view"},
+    ]
+    t = pa.Table.from_pandas(pd.DataFrame(rows), preserve_index=False)
+    for parts in (1, 2, 4):
+        got = asof_join(rd.from_arrow(t), num_parts=parts).to_pandas()
+        assert list(got.matched_event_id.astype("int64")) == [13]
+
+
+def test_ivf_index_search_empty_shards_schema(tmp_path):
+    """No shard paths → empty dataset with the documented RESULT schema
+    (query_id, neighbor_id, rnk), not the internal probe schema (ADVICE r3)."""
+    import shutil
+
+    from osm2geojson_ray.stages.similarity import (
+        ivf_index_build, ivf_index_search, select_queries_batch,
+    )
+
+    emb = _read(f"{SF}/embeddings.parquet", ["vec_id", "embedding"])
+    idx = str(tmp_path / "ivf_empty")
+    ivf_index_build(emb, idx, n_iters=2)
+    shutil.rmtree(f"{idx}/lists")
+    q = emb.map_batches(lambda t: select_queries_batch(t, 10), batch_format="pyarrow")
+    out = ivf_index_search(idx, q, k=5, nprobe=2)
+    # Dataset.schema() is what downstream select_columns consults
+    # (Ray's to_pandas() drops column names entirely for 0-row datasets)
+    assert out.schema().names == ["query_id", "neighbor_id", "rnk"]
+    assert out.count() == 0
+    assert len(out.select_columns(["query_id", "rnk"]).take_all()) == 0
