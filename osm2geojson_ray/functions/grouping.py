@@ -155,7 +155,7 @@ def group_to_lists(
     )
 
 
-def group_to_lists_salted(
+def group_partials_salted(
     ds: ray.data.Dataset,
     key: str,
     salt_col: str,
@@ -163,13 +163,15 @@ def group_to_lists_salted(
     sort_cols: Sequence[str] = (),
     num_parts: int = 64,
 ) -> ray.data.Dataset:
-    """Skew-hardened collect-to-list: first-level grouping on
-    ``(key, salt)`` where ``salt = hash(salt_col) % num_salts`` builds
-    partial lists, a tiny second-level group-by on ``key`` concatenates
-    them (mega-relation path, SURVEY.md §4/§7.4).  Output order within a
-    key is (salt, *sort_cols) — callers needing a data-carried order must
-    re-sort from carried columns (e.g. ``pos``), exactly the engine's
-    shuffle-order-independence contract."""
+    """Phase 1 of the skew-hardened collect-to-list: group on
+    ``(key, salt)`` where ``salt = hash(salt_col) % num_salts`` — a
+    mega-key's rows spread over ``num_salts`` buckets, each emitting a
+    partial list row.  The output has the same schema as the full
+    collect (key + list columns) but up to ``num_salts`` rows per key;
+    finish with :func:`concat_partial_lists` — either via
+    :func:`group_to_lists_salted` (dedicated exchange) or fused into a
+    downstream co-group kernel on ``key`` (the join stages do this,
+    saving one full exchange of the concatenated mega rows)."""
 
     def add_salt(t: pa.Table) -> pa.Table:
         salt = (hash_keys(t, [salt_col]) % np.uint64(num_salts)).astype(np.int32)
@@ -181,28 +183,51 @@ def group_to_lists_salted(
         g = group_table_to_lists(t, key, ["__salt", *sort_cols])
         return g.drop_columns(["__salt"])
 
-    # first level: partition by (key, salt) — spreads a mega-key over
-    # num_salts buckets; second level: concat partials per key.
-    partials = partition_map(salted, [key, "__salt"], num_parts, assemble)
+    return partition_map(salted, [key, "__salt"], num_parts, assemble)
 
-    def concat_lists(t: pa.Table) -> pa.Table:
-        idx = pc.sort_indices(t, sort_keys=[(key, "ascending")])
-        t2 = t.take(idx).combine_chunks()
-        keys_np = np.asarray(t2.column(key))
-        offsets = _group_offsets(keys_np)
-        out = {key: pa.array(keys_np[offsets[:-1]], t2.schema.field(key).type)}
-        for name in t2.column_names:
-            if name == key:
-                continue
-            col = t2.column(name).combine_chunks()  # list array of partials
-            flat = col.flatten()
-            # lengths of each partial list, summed per key run
-            lens = np.asarray(col.value_lengths().fill_null(0), dtype=np.int64)
-            row_ends = np.cumsum(lens)
-            new_off = np.concatenate([[0], row_ends[offsets[1:] - 1]])
-            out[name] = pa.ListArray.from_arrays(
-                pa.array(new_off, pa.int64()).cast(pa.int32()), flat
-            )
-        return pa.table(out)
 
-    return partition_map(partials, [key], max(8, num_parts // 8), concat_lists)
+def concat_partial_lists(t: pa.Table, key: str) -> pa.Table:
+    """Merge per-(key, salt) partial list rows into one row per key —
+    vectorized flatten + offset rebuild, no per-row Python.  Partial
+    arrival order within a key is NOT deterministic; callers must
+    re-sort list contents from carried columns (e.g. ``pos``), exactly
+    the engine's shuffle-order-independence contract."""
+    idx = pc.sort_indices(t, sort_keys=[(key, "ascending")])
+    t2 = t.take(idx).combine_chunks()
+    keys_np = np.asarray(t2.column(key))
+    offsets = _group_offsets(keys_np)
+    out = {key: pa.array(keys_np[offsets[:-1]], t2.schema.field(key).type)}
+    for name in t2.column_names:
+        if name == key:
+            continue
+        col = t2.column(name).combine_chunks()  # list array of partials
+        flat = col.flatten()
+        # lengths of each partial list, summed per key run
+        lens = np.asarray(col.value_lengths().fill_null(0), dtype=np.int64)
+        row_ends = np.cumsum(lens)
+        new_off = np.concatenate([[0], row_ends[offsets[1:] - 1]])
+        out[name] = pa.ListArray.from_arrays(
+            pa.array(new_off, pa.int64()).cast(pa.int32()), flat
+        )
+    return pa.table(out)
+
+
+def group_to_lists_salted(
+    ds: ray.data.Dataset,
+    key: str,
+    salt_col: str,
+    num_salts: int,
+    sort_cols: Sequence[str] = (),
+    num_parts: int = 64,
+) -> ray.data.Dataset:
+    """Skew-hardened collect-to-list: salted partial lists
+    (:func:`group_partials_salted`), then a small second-level group-by
+    on ``key`` concatenates them (mega-relation path, SURVEY.md
+    §4/§7.4).  See :func:`concat_partial_lists` for the ordering
+    contract."""
+    partials = group_partials_salted(
+        ds, key, salt_col, num_salts, sort_cols=sort_cols, num_parts=num_parts
+    )
+    return partition_map(
+        partials, [key], max(8, num_parts // 8), lambda t: concat_partial_lists(t, key)
+    )

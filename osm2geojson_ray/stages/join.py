@@ -25,9 +25,12 @@ J6 (SURVEY.md §7.4).  Way-node order is restored from the data-carried
 deterministically sorted by member id (§1.4: per-key value order is not
 a reference contract).
 
-``salt`` switches J2/J4/J6 to the two-phase salted collect
-(functions.grouping.group_to_lists_salted) for planet-scale mega-key
-skew — more exchanges, bounded per-task fan-in.
+``salt`` switches J2/J4/J6 to the salted collect for planet-scale
+mega-key skew: phase-1 partial lists on (key, salt)
+(functions.grouping.group_partials_salted) bound per-task fan-in, and
+the partial-concat is fused into the join co-group — the salted path
+costs the same 2 exchanges per stage as the unsalted one (r4; fusion
+replaced the earlier dedicated phase-2 exchange).
 """
 
 from __future__ import annotations
@@ -37,8 +40,12 @@ import pyarrow as pa
 
 import ray.data
 
-from ..functions.grouping import group_table_to_lists, group_to_lists_salted
-from ..functions.joins import cogroup_apply, join_on_unique, join_unique_np
+from ..functions.grouping import (
+    concat_partial_lists,
+    group_partials_salted,
+    group_table_to_lists,
+)
+from ..functions.joins import cogroup_apply, join_unique_np
 from ..schema import (
     COMPLETE_WAY_STRUCT,
     NODE_STRUCT,
@@ -123,16 +130,16 @@ _J3_OUT = pa.schema(
     ]
 )
 
-_GROUPED_J1 = pa.schema(
-    [
-        ("way_id", pa.int64()),
-        ("pos", pa.list_(pa.int32())),
-        ("node_id", pa.list_(pa.int64())),
-        ("lon", pa.list_(pa.float64())),
-        ("lat", pa.list_(pa.float64())),
-        ("node_tags", pa.list_(TAGS)),
-    ]
-)
+def _grouped_schema(s: pa.Schema, key: str) -> pa.Schema:
+    """Schema of a collect-to-list (or salted partial-list) table: the
+    key stays scalar, every other column becomes a list of its type."""
+    return pa.schema(
+        [(f.name, f.type if f.name == key else pa.list_(f.type)) for f in s]
+    )
+
+
+_GROUPED_J1 = _grouped_schema(_J1_OUT, "way_id")
+_GROUPED_J3 = _grouped_schema(_J3_OUT, "rel_id")
 
 _REL_WITH_NODES = pa.schema(
     [
@@ -281,26 +288,36 @@ def j2_complete_ways(
     num_parts: int = 64,
     salt: int | None = None,
 ) -> ray.data.Dataset:
-    """ways ⋈ per-way node lists → complete ways (OsmJoin.java:290-323)."""
-    if salt and salt > 1:
-        grouped = group_to_lists_salted(
-            way_nodes, "way_id", "node_id", salt, sort_cols=["pos"], num_parts=num_parts
-        )
-        joined = join_on_unique(
-            ways, grouped, "way_id", WAYS, _GROUPED_J1, how="inner", num_parts=num_parts
-        )
-        return joined.map_batches(_assemble_complete_ways, batch_format="pyarrow", zero_copy_batch=True)
+    """ways ⋈ per-way node lists → complete ways (OsmJoin.java:290-323).
 
-    def kernel(wn: pa.Table, wy: pa.Table) -> pa.Table:
-        grouped = group_table_to_lists(wn, "way_id", ["pos"])
+    Salted path (mega-way skew): phase-1 salted partial lists, then the
+    partial-concat is FUSED into the join co-group on ``way_id`` — 2
+    exchanges total, same as the unsalted path, and the concatenated
+    mega list row never makes an extra object-store round trip (r4; the
+    prior 3-exchange shape re-shipped it through a dedicated phase-2
+    Sort+Repartition before the join)."""
+
+    def kernel_grouped(grouped: pa.Table, wy: pa.Table) -> pa.Table:
         joined = join_unique_np(
             grouped, wy, "way_id",
             ["pos", "node_id", "lon", "lat", "node_tags"], ["tags", "ns"],
         )
         return _assemble_complete_ways(joined)
 
+    if salt and salt > 1:
+        partials = group_partials_salted(
+            way_nodes, "way_id", "node_id", salt, sort_cols=["pos"], num_parts=num_parts
+        )
+        return cogroup_apply(
+            partials, ways, "way_id", _GROUPED_J1, WAYS,
+            lambda pt, wy: kernel_grouped(concat_partial_lists(pt, "way_id"), wy),
+            num_parts,
+        )
+
     return cogroup_apply(
-        way_nodes, ways, "way_id", _J1_OUT, WAYS, kernel, num_parts
+        way_nodes, ways, "way_id", _J1_OUT, WAYS,
+        lambda wn, wy: kernel_grouped(group_table_to_lists(wn, "way_id", ["pos"]), wy),
+        num_parts,
     )
 
 
@@ -335,24 +352,27 @@ def j4_rel_with_nodes(
 ) -> ray.data.Dataset:
     """relations ⋈ per-rel node lists (inner: node-less relations drop —
     OsmJoin.java:347-372).  Node list deterministically sorted by node_id."""
-    packed_schema = pa.schema([("rel_id", pa.int64()), ("nodes", pa.list_(NODE_STRUCT))])
-    if salt and salt > 1:
-        grouped = group_to_lists_salted(
-            rel_nodes, "rel_id", "node_id", salt, sort_cols=["node_id"], num_parts=num_parts
-        )
-        packed = grouped.map_batches(_pack_rel_nodes, batch_format="pyarrow", zero_copy_batch=True)
-        return join_on_unique(
-            relations, packed, "rel_id", RELATIONS, packed_schema,
-            how="inner", num_parts=num_parts,
-        )
-
-    def kernel(rn: pa.Table, rels: pa.Table) -> pa.Table:
-        packed = _pack_rel_nodes(group_table_to_lists(rn, "rel_id", ["node_id"]))
+    def kernel_grouped(grouped: pa.Table, rels: pa.Table) -> pa.Table:
+        packed = _pack_rel_nodes(grouped)
         out = join_unique_np(packed, rels, "rel_id", ["nodes"], ["tags", "members"])
         return out.select([f.name for f in _REL_WITH_NODES])
 
+    if salt and salt > 1:
+        # fused salted path: partial-concat + pack + join in ONE co-group
+        # exchange on rel_id (2 exchanges total — see j2_complete_ways).
+        partials = group_partials_salted(
+            rel_nodes, "rel_id", "node_id", salt, sort_cols=["node_id"], num_parts=num_parts
+        )
+        return cogroup_apply(
+            partials, relations, "rel_id", _GROUPED_J3, RELATIONS,
+            lambda pt, rels: kernel_grouped(concat_partial_lists(pt, "rel_id"), rels),
+            num_parts,
+        )
+
     return cogroup_apply(
-        rel_nodes, relations, "rel_id", _J3_OUT, RELATIONS, kernel, num_parts
+        rel_nodes, relations, "rel_id", _J3_OUT, RELATIONS,
+        lambda rn, rels: kernel_grouped(group_table_to_lists(rn, "rel_id", ["node_id"]), rels),
+        num_parts,
     )
 
 
@@ -414,26 +434,30 @@ def j6_complete_relations(
 ) -> ray.data.Dataset:
     """rel(+nodes) ⋈ per-rel complete-way lists (inner: way-less relations
     drop — OsmJoin.java:396-421).  Ways sorted by way_id."""
-    packed_schema = pa.schema(
-        [("rel_id", pa.int64()), ("ways", pa.list_(COMPLETE_WAY_STRUCT))]
-    )
-    if salt and salt > 1:
-        grouped = group_to_lists_salted(
-            rel_ways, "rel_id", "way_id", salt, sort_cols=["way_id"], num_parts=num_parts
-        )
-        packed = grouped.map_batches(_pack_rel_ways, batch_format="pyarrow", zero_copy_batch=True)
-        return join_on_unique(
-            rel_with_nodes, packed, "rel_id", _REL_WITH_NODES, packed_schema,
-            how="inner", num_parts=num_parts,
-        )
-
-    def kernel(rw: pa.Table, rwn: pa.Table) -> pa.Table:
-        packed = _pack_rel_ways(group_table_to_lists(rw, "rel_id", ["way_id"]))
+    def kernel_grouped(grouped: pa.Table, rwn: pa.Table) -> pa.Table:
+        packed = _pack_rel_ways(grouped)
         out = join_unique_np(packed, rwn, "rel_id", ["ways"], ["tags", "members", "nodes"])
         return out.select(["rel_id", "tags", "members", "nodes", "ways"])
 
+    if salt and salt > 1:
+        # fused salted path (2 exchanges; see j2_complete_ways) — this is
+        # the stage where fusion pays most: the mega relation's packed
+        # ways list is the fattest single row in the DAG, and the fused
+        # plan never re-ships it between concat and join.
+        partials = group_partials_salted(
+            rel_ways, "rel_id", "way_id", salt, sort_cols=["way_id"], num_parts=num_parts
+        )
+        return cogroup_apply(
+            partials, rel_with_nodes, "rel_id",
+            _grouped_schema(_J5_OUT, "rel_id"), _REL_WITH_NODES,
+            lambda pt, rwn: kernel_grouped(concat_partial_lists(pt, "rel_id"), rwn),
+            num_parts,
+        )
+
     return cogroup_apply(
-        rel_ways, rel_with_nodes, "rel_id", _J5_OUT, _REL_WITH_NODES, kernel, num_parts
+        rel_ways, rel_with_nodes, "rel_id", _J5_OUT, _REL_WITH_NODES,
+        lambda rw, rwn: kernel_grouped(group_table_to_lists(rw, "rel_id", ["way_id"]), rwn),
+        num_parts,
     )
 
 
