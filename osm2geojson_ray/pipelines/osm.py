@@ -35,6 +35,20 @@ class OsmPipelineConfig:
     # common subexpressions across branches) — the engine's analog of the
     # reference's per-stage files, and the checkpointable boundary
     materialize_shared: bool = True
+    # overlap INDEPENDENT stage materializations (parse_nodes ∥ parse_ways
+    # ∥ parse_relations; J1J2 ∥ J3J4 — the true dependency DAG of SURVEY
+    # §3.4, which the reference needlessly serializes).  Each materialize
+    # is a driver-blocking call whose tail leaves scheduler slots idle
+    # (r4 CPU-metering: the nominal-8-CPU leg delivered only ~3.9
+    # effective cores, idling at stage tails); running the independent
+    # branches from concurrent driver threads fills those gaps while
+    # keeping the per-stage boundaries (checkpoint grain) intact.
+    # "auto" (default): overlap iff the cluster has >= 4 CPUs — measured
+    # on the 300k-doc bench corpus: -24% wall at 8 CPUs (99.4→75.4 s) and
+    # -38% at 32 (65.1→40.4 s), but +15% at 2 CPUs (176→202 s: with no
+    # idle slots to backfill, two concurrent exchanges just contend for
+    # the object store).  Any real cluster is in the >= 4 regime.
+    overlap_stages: bool | str = "auto"
 
 
 def _max_list_len(ds: ray.data.Dataset, col: str) -> int:
@@ -151,24 +165,51 @@ def build(
         mat = lambda name, ds: _timed(name, lambda: ds.materialize())  # noqa: E731
     else:
         mat_src = mat = lambda name, ds: ds  # noqa: E731
+    if cfg.overlap_stages == "auto":
+        import ray
+
+        overlap = cfg.materialize_shared and (
+            ray.is_initialized() and ray.cluster_resources().get("CPU", 0) >= 4
+        )
+    else:
+        overlap = cfg.materialize_shared and bool(cfg.overlap_stages)
+
+    def _fanout(jobs: list[tuple]):
+        """Run independent (name, fn, ds) materializations concurrently.
+        Thread-per-branch: each Dataset executes in its own streaming
+        executor; concurrent drivers interleave their tasks so one
+        branch's stage tail backfills with the other's work."""
+        if not overlap or len(jobs) == 1:
+            return [fn(name, ds) for name, fn, ds in jobs]
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(len(jobs)) as ex:
+            futs = [ex.submit(fn, name, ds) for name, fn, ds in jobs]
+            return [f.result() for f in futs]
+
     elements = mat_src("elements", extract_elements(documents))
-    nodes = mat_src("parse_nodes", P.parse_nodes(elements))
-    ways = mat_src("parse_ways", P.parse_ways(elements))
-    relations = mat_src("parse_relations", P.parse_relations(elements))
+    nodes, ways, relations = _fanout([
+        ("parse_nodes", mat_src, P.parse_nodes(elements)),
+        ("parse_ways", mat_src, P.parse_ways(elements)),
+        ("parse_relations", mat_src, P.parse_relations(elements)),
+    ])
     rejects = P.parse_rejects(elements)
     # staged execution: a materialization boundary every 1-2 exchanges.
     # One giant lazy DAG is measurably slower on Ray's streaming executor
     # (too many concurrent operator stages contend); this mirrors the
     # reference's per-stage files and doubles as the checkpoint grain.
+    # Independent BRANCHES of the DAG (J1J2 vs J3J4) still overlap.
     np_ = cfg.num_parts
     salts = resolve_salts(ways, relations, cfg)
     wn = J.j1_way_nodes(nodes, P.way_edges(ways), np_)
+    rn = J.j3_rel_nodes(nodes, P.node_rel_edges(relations), np_)
     # staged boundaries measured FASTER than a fully lazy DAG at the
     # 600k-doc corpus in both rounds (single-consumer J4 left lazy was
     # ~1.6x slower at 8 CPUs: concurrent operator stages contend)
-    complete_ways = mat("j1_j2_complete_ways", J.j2_complete_ways(ways, wn, np_, salts["j2"]))
-    rn = J.j3_rel_nodes(nodes, P.node_rel_edges(relations), np_)
-    rwn = mat("j3_j4_rel_with_nodes", J.j4_rel_with_nodes(relations, rn, np_, salts["j4"]))
+    complete_ways, rwn = _fanout([
+        ("j1_j2_complete_ways", mat, J.j2_complete_ways(ways, wn, np_, salts["j2"])),
+        ("j3_j4_rel_with_nodes", mat, J.j4_rel_with_nodes(relations, rn, np_, salts["j4"])),
+    ])
     rw = J.j5_rel_ways(complete_ways, P.way_rel_edges(relations), np_)
     complete_rels = mat("j5_j6_complete_relations", J.j6_complete_relations(rwn, rw, np_, salts["j6"]))
     dag = {

@@ -50,3 +50,22 @@ def test_golden_end_to_end(small_corpus_dir):
     assert len(got["features"]) == len(want["features"])
     for a, b in zip(got["features"], want["features"]):
         assert a == b, f"feature mismatch: {a.get('id')}"
+
+
+def test_overlap_stages_parity(small_corpus_dir):
+    """Concurrent materialization of independent DAG branches (overlap_stages)
+    is a scheduling choice only — features identical to the serial path."""
+    from osm2geojson_ray.pipelines.osm import OsmPipelineConfig, build
+    from osm2geojson_ray.sources.documents import read_documents
+
+    def feats(overlap):
+        g = build(
+            read_documents(small_corpus_dir),
+            OsmPipelineConfig(num_parts=8, overlap_stages=overlap),
+        )
+        return sorted(
+            ((r["feature_id"], r["geom_type"], tuple(r["xs"]), tuple(r["ys"]))
+             for r in g["features"].take_all()),
+        )
+
+    assert feats(True) == feats(False)

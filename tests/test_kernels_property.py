@@ -23,7 +23,7 @@ def test_ranges_offsets_property(widths):
     assert got.tolist() == want.tolist()
 
 
-@settings(max_examples=200)
+@settings(max_examples=200, deadline=None)
 @given(
     st.lists(finite, min_size=1, max_size=40),
     st.lists(finite, max_size=60),
@@ -50,7 +50,9 @@ def test_hll_rho_matches_bit_length(w):
     assert got == want
 
 
-@settings(max_examples=100)
+# deadline=None: each example opens a DuckDB connection — IO-bound, and
+# the default 200 ms deadline flakes under full-suite box load
+@settings(max_examples=100, deadline=None)
 @given(
     st.lists(finite, min_size=1, max_size=200),
     st.sampled_from([0.25, 0.5, 0.75, 0.9, 0.99]),
