@@ -574,10 +574,6 @@ def _embedding_dup_pairs_lsh(
     return distinct(cand, ["vec_a", "vec_b"], num_parts)
 
 
-DOC_LABEL_SCHEMA = pa.schema([("doc_id", pa.int64()), ("dst", pa.int64())])
-LABEL_SCHEMA = pa.schema([("doc_id", pa.int64()), ("label", pa.int64())])
-
-
 def dedup_clusters(
     docs: ray.data.Dataset, num_parts: int = 32, max_iters: int = 50
 ) -> ray.data.Dataset:
@@ -587,17 +583,36 @@ def dedup_clusters(
     map to themselves; the canonical survivor of each cluster is the row
     with doc_id == cluster_id).
 
-    Distributed min-label propagation: per round, every edge proposes its
-    source's label to its target (one hash join), then labels take the
-    min proposal (one hash exchange) — 2 exchanges per round, converging
-    in O(component diameter) rounds.  LSH components are band-bucket
-    unions, so diameters stay small; the driver only coordinates the
-    bounded round loop and reads a scalar changed-count per round
-    (same pattern as ``tiling.knn_distributed``'s rounds).  For
+    Distributed min-label propagation over a CO-PARTITIONED edge index
+    with a FRONTIER (delta) round — the one operator in the engine that
+    drops below the Dataset API, because Ray Data cannot express "keep
+    this big side partitioned and resident across iterations":
+
+    * Setup (once): the bidirectional edge list and the label seed are
+      hash-partitioned by ``hash(doc_id) % P`` into P pyarrow tables
+      pinned in the object store.  The O(E) edge bytes move exactly
+      once; Ray's locality-aware scheduling then runs each round's
+      per-partition task next to its resident edge shard.
+    * Per round: partition p joins its edge shard against its frontier
+      shard (vertices whose label changed last round; round 1 = all) and
+      emits min-label proposals split by ``hash(dst) % P`` — only
+      frontier labels and proposals cross the wire, so per-round traffic
+      is O(edges incident to the frontier), decaying geometrically as
+      components settle, instead of O(E) per round.  Partition q then
+      min-merges proposals into its resident label shard and reports a
+      scalar changed-count; the driver only sums P scalars per round.
+
+    Correct by induction: a label reaches a neighbor in the round after
+    it last decreased, and every label proposes in round 1.  LSH
+    components are band-bucket unions, so diameters stay small.  For
     adversarial long-chain graphs swap in star-contraction; the
     partitioning/merge shape here is unchanged.
     """
-    from ..functions.joins import join_on_unique
+    import ray
+
+    from ..functions.grouping import hash_keys
+
+    P = max(2, int(num_parts))  # num_returns=1 would unwrap the shard tuple
 
     pairs = dedup_minhash_pairs(docs, num_parts=num_parts).materialize()
 
@@ -610,62 +625,109 @@ def dedup_clusters(
 
     edges = pairs.map_batches(bidir, batch_format="pyarrow", zero_copy_batch=True).materialize()
 
-    labels = docs.map_batches(
+    seeds = docs.map_batches(
         lambda t: pa.table(
-            {"doc_id": t.column("doc_id"), "label": t.column("doc_id")}
+            {"doc_id": t.column("doc_id").combine_chunks().cast(pa.int64()),
+             "label": t.column("doc_id").combine_chunks().cast(pa.int64())}
         ),
         batch_format="pyarrow", zero_copy_batch=True,
     ).materialize()
 
-    def tag_old(t: pa.Table) -> pa.Table:
-        return t.append_column("is_old", pa.array(np.ones(t.num_rows, np.int8)))
-
-    def cand_shape(t: pa.Table) -> pa.Table:
-        return pa.table(
-            {"doc_id": t.column("dst"), "label": t.column("label"),
-             "is_old": pa.array(np.zeros(t.num_rows, np.int8))}
-        )
-
-    def merge_min(t: pa.Table) -> pa.Table:
+    def _split(t: pa.Table, parts: int) -> tuple:
+        """Hash-split a table by doc_id into `parts` sub-tables (schema-
+        preserving slices, so empty shards still carry the schema)."""
         if t.num_rows == 0:
-            return pa.table(
-                {"doc_id": pa.array([], pa.int64()),
-                 "label": pa.array([], pa.int64()),
-                 "changed": pa.array([], pa.int8())}
-            )
-        tb = t.combine_chunks().sort_by([("doc_id", "ascending")])
-        d = np.asarray(tb.column("doc_id"))
-        lab = np.asarray(tb.column("label"))
-        old = np.asarray(tb.column("is_old"))
-        change_pts = np.nonzero(d[1:] != d[:-1])[0] + 1
-        offs = np.concatenate([[0], change_pts]).astype(np.int64)
-        minl = np.minimum.reduceat(lab, offs)
-        old_l = lab[old == 1]  # exactly one labels row per doc (all docs seeded)
-        changed = (minl < old_l).astype(np.int8)
-        return pa.table(
-            {"doc_id": pa.array(d[offs], pa.int64()),
-             "label": pa.array(minl, pa.int64()),
-             "changed": pa.array(changed)}
-        )
+            return tuple(t for _ in range(parts))
+        part = (hash_keys(t, ["doc_id"]) % np.uint64(parts)).astype(np.int64)
+        order = np.argsort(part, kind="stable")
+        ts = t.take(pa.array(order)).combine_chunks()
+        offs = np.searchsorted(part[order], np.arange(parts + 1))
+        return tuple(ts.slice(offs[p], offs[p + 1] - offs[p]) for p in range(parts))
+
+    @ray.remote
+    def split_block(t: pa.Table, parts: int) -> tuple:
+        return _split(t, parts)
+
+    @ray.remote
+    def concat_part(*tabs: pa.Table) -> pa.Table:
+        return pa.concat_tables(tabs).combine_chunks()
+
+    def exchange_once(ds: ray.data.Dataset) -> list:
+        """One-time hash exchange: Dataset → P pinned partition tables."""
+        blocks = ds.to_arrow_refs()
+        split_refs = [split_block.options(num_returns=P).remote(b, P) for b in blocks]
+        return [concat_part.remote(*[sr[p] for sr in split_refs]) for p in range(P)]
+
+    @ray.remote
+    def propose(edge_t: pa.Table, frontier_t: pa.Table) -> tuple:
+        """Inner-join the resident edge shard with this round's frontier
+        shard on source doc_id; emit (dst, label) proposals hash-split by
+        dst so each lands on its label shard."""
+        empty = pa.table({"doc_id": pa.array([], pa.int64()),
+                          "label": pa.array([], pa.int64())})
+        if edge_t.num_rows == 0 or frontier_t.num_rows == 0:
+            return tuple(empty for _ in range(P))
+        ek = np.asarray(edge_t.column("doc_id"))
+        fk = np.asarray(frontier_t.column("doc_id"))
+        order = np.argsort(fk, kind="stable")
+        fks = fk[order]
+        ri = np.searchsorted(fks, ek)
+        ric = np.minimum(ri, len(fks) - 1)
+        matched = fks[ric] == ek
+        dst = np.asarray(edge_t.column("dst"))[matched]
+        lab = np.asarray(frontier_t.column("label"))[order[ric[matched]]]
+        props = pa.table({"doc_id": pa.array(dst, pa.int64()),
+                          "label": pa.array(lab, pa.int64())})
+        return _split(props, P)
+
+    @ray.remote(num_returns=3)
+    def merge_min(label_t: pa.Table, *prop_tabs: pa.Table):
+        """Min-merge proposals into the resident label shard; return the
+        new shard, a scalar changed-count, and the changed-rows frontier."""
+        props = pa.concat_tables(prop_tabs).combine_chunks()
+        empty_frontier = label_t.slice(0, 0)
+        if props.num_rows == 0 or label_t.num_rows == 0:
+            return label_t, 0, empty_frontier
+        d = np.asarray(label_t.column("doc_id"))
+        old = np.asarray(label_t.column("label"))
+        order = np.argsort(d, kind="stable")
+        ds_ = d[order]
+        new = old[order].copy()
+        pd_ = np.asarray(props.column("doc_id"))
+        pl_ = np.asarray(props.column("label"))
+        idx = np.minimum(np.searchsorted(ds_, pd_), len(ds_) - 1)
+        hit = ds_[idx] == pd_  # every dst is a seeded doc; guard anyway
+        np.minimum.at(new, idx[hit], pl_[hit])
+        changed = new < old[order]
+        shard = pa.table({"doc_id": pa.array(ds_, pa.int64()),
+                          "label": pa.array(new, pa.int64())})
+        frontier = pa.table({"doc_id": pa.array(ds_[changed], pa.int64()),
+                             "label": pa.array(new[changed], pa.int64())})
+        return shard, int(changed.sum()), frontier
+
+    edge_parts = exchange_once(edges)
+    label_parts = exchange_once(seeds)
+    frontier_parts = label_parts  # round 1: every vertex proposes
 
     for _ in range(max_iters):
-        cand = join_on_unique(
-            edges, labels, "doc_id", DOC_LABEL_SCHEMA, LABEL_SCHEMA,
-            how="inner", num_parts=num_parts,
-        ).map_batches(cand_shape, batch_format="pyarrow", zero_copy_batch=True)
-        old_tagged = labels.map_batches(tag_old, batch_format="pyarrow", zero_copy_batch=True)
-        merged = partition_map(
-            old_tagged.union(cand), ["doc_id"], num_parts, merge_min
-        ).materialize()
-        n_changed = merged.sum("changed")
-        labels = merged.map_batches(
-            lambda t: t.select(["doc_id", "label"]),
-            batch_format="pyarrow", zero_copy_batch=True,
-        ).materialize()
-        if not n_changed:
+        prop_grid = [
+            propose.options(num_returns=P).remote(edge_parts[p], frontier_parts[p])
+            for p in range(P)
+        ]
+        new_labels, changed_refs, new_frontiers = [], [], []
+        for q in range(P):
+            nl, ch, fr = merge_min.remote(
+                label_parts[q], *[prop_grid[p][q] for p in range(P)]
+            )
+            new_labels.append(nl)
+            changed_refs.append(ch)
+            new_frontiers.append(fr)
+        label_parts = new_labels
+        frontier_parts = new_frontiers
+        if sum(ray.get(changed_refs)) == 0:
             break
 
-    return labels.map_batches(
+    return ray.data.from_arrow_refs(label_parts).map_batches(
         lambda t: pa.table(
             {"doc_id": t.column("doc_id"), "cluster_id": t.column("label")}
         ),
