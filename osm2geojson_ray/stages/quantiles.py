@@ -11,7 +11,10 @@ task; the driver narrows each rank's interval to the bin containing it.
 Interval population shrinks ~``bins``× per round, so 10^12 rows need ~3
 passes before the final bounded gather (≤ ``gather_cap`` values per
 task) resolves the exact element.  Nothing unbounded ever reaches the
-driver.
+driver.  Histograms are computed once per DISTINCT (group, interval) —
+a group's qs share their interval until their quickselect paths diverge
+— and the per-round pass is a plain task fn (an actor pool would pay
+startup every round for a closure that is a few dozen tuples).
 
 Float-resolution edges are exact, not best-effort: each round
 recomputes its strict below-``lo`` count in the same pass as the
@@ -82,7 +85,7 @@ def grouped_quantiles(
     value_col: str,
     group_col: str,
     qs: tuple[float, ...] = (0.5, 0.9, 0.99),
-    bins: int = 256,
+    bins: int = 1024,
     gather_cap: int = 65536,
     num_parts: int = 8,
     max_rounds: int = 64,
@@ -167,43 +170,48 @@ def grouped_quantiles(
     while act and rounds < max_rounds:
         rounds += 1
         act_ids = {id(t) for t in act}
-        spec = []
+        # one histogram per DISTINCT (group, interval) — the qs of a
+        # group share their interval until the quickselect paths diverge
+        # (always in round 1), so this cuts the per-batch work ~|qs|×
+        spec: list = []
+        spec_of: dict = {}
         for i, t in enumerate(tasks):
             if id(t) not in act_ids:
                 continue
-            edges, pair = task_edges(t)
-            spec.append((i, t["g"], edges, t["closed"], pair))
-            t["_edges"], t["_pair"] = edges, pair
-        class Hist:
-            # spec is a few dozen tuples — captured directly in the actor
-            # closure (ray.put broadcast is for BIG state like the kNN
-            # centroid matrix; for tiny specs it only adds a round-trip)
-            def __init__(self) -> None:
-                self.spec = spec
+            sig = (t["g"], t["lo"], t["hi"], t["closed"])
+            if sig not in spec_of:
+                edges, pair = task_edges(t)
+                spec_of[sig] = len(spec)
+                spec.append((len(spec), t["g"], edges, t["closed"], pair))
+            si = spec_of[sig]
+            _, _, edges, _, pair = spec[si]
+            t["_edges"], t["_pair"], t["_spec"] = edges, pair, si
 
-            def __call__(self, t: pa.Table) -> pa.Table:
-                codes, code_of = _group_codes(t, group_col)
-                vv = np.asarray(t.column(value_col))
-                tid, nb, cnts = [], [], []
-                for i, g, edges, closed, pair in self.spec:
-                    v = vv[codes == code_of.get(g, -1)]
-                    lo, hi = float(edges[0]), float(edges[-1])
-                    inn = v[_inside(v, lo, hi, closed)]
-                    if pair:
-                        c = np.array(
-                            [np.count_nonzero(inn == lo),
-                             np.count_nonzero(inn == hi)],
-                            np.int64,
-                        )
-                    else:
-                        c, _ = np.histogram(inn, bins=edges)
-                        if not closed:
-                            # np.histogram closes the right edge; ours is open
-                            c[-1] -= int(np.count_nonzero(inn == hi))
-                    tid.append(i)
-                    nb.append(int(np.count_nonzero(v < lo)))
-                    cnts.append(c.astype(np.int64))
-                return _hist_rows(tid, nb, cnts, bins)
+        # plain task fn, not an actor pool: the spec closure is tiny and
+        # a fresh pool per round would cost actor startup every round
+        def hist_fn(t: pa.Table, spec=spec) -> pa.Table:
+            codes, code_of = _group_codes(t, group_col)
+            vv = np.asarray(t.column(value_col))
+            tid, nb, cnts = [], [], []
+            for i, g, edges, closed, pair in spec:
+                v = vv[codes == code_of.get(g, -1)]
+                lo, hi = float(edges[0]), float(edges[-1])
+                inn = v[_inside(v, lo, hi, closed)]
+                if pair:
+                    c = np.array(
+                        [np.count_nonzero(inn == lo),
+                         np.count_nonzero(inn == hi)],
+                        np.int64,
+                    )
+                else:
+                    c, _ = np.histogram(inn, bins=edges)
+                    if not closed:
+                        # np.histogram closes the right edge; ours is open
+                        c[-1] -= int(np.count_nonzero(inn == hi))
+                tid.append(i)
+                nb.append(int(np.count_nonzero(v < lo)))
+                cnts.append(c.astype(np.int64))
+            return _hist_rows(tid, nb, cnts, bins)
 
         def merge_hist(t: pa.Table) -> pa.Table:
             if t.num_rows == 0:
@@ -220,15 +228,13 @@ def grouped_quantiles(
             return _hist_rows(uniq, nb_sum, list(summed), bins)
 
         hist = partition_map(
-            base.map_batches(
-                Hist, batch_format="pyarrow", zero_copy_batch=True,
-                concurrency=(1, num_parts),
-            ),
+            base.map_batches(hist_fn, batch_format="pyarrow", zero_copy_batch=True),
             ["task_id"], 1, merge_hist,
-        ).take_all()  # bounded: one row per active task
+        ).take_all()  # bounded: one row per distinct (group, interval)
 
-        for row in hist:
-            t = tasks[row["task_id"]]
+        row_of = {int(row["task_id"]): row for row in hist}
+        for t in act:
+            row = row_of[t["_spec"]]
             target = t["rank"] - int(row["n_below"])
             counts = np.asarray(row["counts"], np.int64)
             if t["_pair"]:
@@ -246,52 +252,53 @@ def grouped_quantiles(
     # final pass: bounded gather of each unresolved task's interval
     # values + the same-pass exact strict below-count (flag column
     # separates count rows from value rows; one fixed block schema)
-    rem_spec = [
-        (i, t["g"], t["lo"], t["hi"], t["closed"])
-        for i, t in enumerate(tasks)
-        if t["value"] is None
-    ]
-    if rem_spec:
+    rem = [t for t in tasks if t["value"] is None]
+    if rem:
+        # gather once per DISTINCT (group, interval); sibling qs that
+        # landed in the same bin share the gathered values
+        rem_spec: list = []
+        rem_of: dict = {}
+        for t in rem:
+            sig = (t["g"], t["lo"], t["hi"], t["closed"])
+            if sig not in rem_of:
+                rem_of[sig] = len(rem_spec)
+                rem_spec.append((len(rem_spec), t["g"], t["lo"], t["hi"], t["closed"]))
+            t["_spec"] = rem_of[sig]
 
-        class Gather:
-            def __init__(self) -> None:
-                self.spec = rem_spec
-
-            def __call__(self, t: pa.Table) -> pa.Table:
-                codes, code_of = _group_codes(t, group_col)
-                vv = np.asarray(t.column(value_col))
-                tid, val, isc = [], [], []
-                for i, g, lo, hi, closed in self.spec:
-                    v = vv[codes == code_of.get(g, -1)]
-                    picked = v[_inside(v, lo, hi, closed)]
-                    tid.append(np.full(len(picked) + 1, i, np.int64))
-                    val.append(
-                        np.concatenate([picked, [float(np.count_nonzero(v < lo))]])
-                    )
-                    isc.append(
-                        np.concatenate([np.zeros(len(picked), np.int8), [1]])
-                    )
-                return pa.table(
-                    {
-                        "task_id": pa.array(
-                            np.concatenate(tid)
-                            if tid else np.zeros(0, np.int64)
-                        ),
-                        "value": pa.array(
-                            np.concatenate(val)
-                            if val else np.zeros(0, np.float64)
-                        ),
-                        "is_count": pa.array(
-                            np.concatenate(isc).astype(np.int8)
-                            if isc else np.zeros(0, np.int8)
-                        ),
-                    }
+        def gather_fn(t: pa.Table, spec=rem_spec) -> pa.Table:
+            codes, code_of = _group_codes(t, group_col)
+            vv = np.asarray(t.column(value_col))
+            tid, val, isc = [], [], []
+            for i, g, lo, hi, closed in spec:
+                v = vv[codes == code_of.get(g, -1)]
+                picked = v[_inside(v, lo, hi, closed)]
+                tid.append(np.full(len(picked) + 1, i, np.int64))
+                val.append(
+                    np.concatenate([picked, [float(np.count_nonzero(v < lo))]])
                 )
+                isc.append(
+                    np.concatenate([np.zeros(len(picked), np.int8), [1]])
+                )
+            return pa.table(
+                {
+                    "task_id": pa.array(
+                        np.concatenate(tid)
+                        if tid else np.zeros(0, np.int64)
+                    ),
+                    "value": pa.array(
+                        np.concatenate(val)
+                        if val else np.zeros(0, np.float64)
+                    ),
+                    "is_count": pa.array(
+                        np.concatenate(isc).astype(np.int8)
+                        if isc else np.zeros(0, np.int8)
+                    ),
+                }
+            )
 
         rows = base.map_batches(
-            Gather, batch_format="pyarrow", zero_copy_batch=True,
-            concurrency=(1, num_parts),
-        ).take_all()  # bounded: ≤ gather_cap + n_blocks rows per task
+            gather_fn, batch_format="pyarrow", zero_copy_batch=True,
+        ).take_all()  # bounded: ≤ gather_cap + n_blocks rows per spec entry
         vals: dict[int, list] = {i: [] for i, *_ in rem_spec}
         below: dict[int, int] = {i: 0 for i, *_ in rem_spec}
         for r in rows:
@@ -299,10 +306,10 @@ def grouped_quantiles(
                 below[r["task_id"]] += int(r["value"])
             else:
                 vals[r["task_id"]].append(r["value"])
-        for i, *_ in rem_spec:
-            t = tasks[i]
-            arr = np.sort(np.asarray(vals[i], np.float64))
-            t["value"] = float(arr[t["rank"] - below[i] - 1])
+        arrs = {i: np.sort(np.asarray(v, np.float64)) for i, v in vals.items()}
+        for t in rem:
+            si = t["_spec"]
+            t["value"] = float(arrs[si][t["rank"] - below[si] - 1])
 
     return pa.table(
         {
