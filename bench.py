@@ -38,26 +38,35 @@ SCALE_CPUS = tuple(
 # real regression is distinguishable from this VM's +-60% noise)
 BENCH_TRIALS = int(os.environ.get("GRAFT_BENCH_TRIALS", "3"))
 # Pinned control constant: wall seconds of control_workload() measured on
-# this box in a quiet window (2026-08-17, r3; 4 trials: 1.353/1.462/
-# 1.361/1.334).  box_load_factor = control_sec / CONTROL_REF_SEC;
-# *_normalized = raw / box_load_factor.  The control is Ray-FREE
-# (multiprocessing over fixed bytes), so it measures the box, not the
-# engine.
-CONTROL_REF_SEC = float(os.environ.get("GRAFT_CONTROL_REF_SEC", "1.35"))
+# this box in a quiet window (r4 2026-08-18, BASELINE.md scaling table:
+# the identical 100k-doc/64-task/8-proc workload measured 4.0 s).
+# box_load_factor = control_sec / CONTROL_REF_SEC; *_normalized =
+# raw / box_load_factor.  The control is Ray-FREE (multiprocessing over
+# fixed bytes), so it measures the box, not the engine.
+#
+# r4 control upgrade: the previous control (20k docs, 16 tasks, ref
+# 1.35 s) was too SHORT to expose sustained memory-bandwidth contention
+# from co-tenant VMs — measured side-by-side on a degraded afternoon
+# (2026-08-18): 20k control 1.45 s (factor 1.08) while the 100k control
+# read 11.9 s vs its 4.0 s quiet-window pin (factor 2.98) and every Ray
+# pipeline ran ~2-3x its quiet-window wall.  The longer control tracks
+# the degradation the pipelines actually see.
+CONTROL_REF_SEC = float(os.environ.get("GRAFT_CONTROL_REF_SEC", "4.0"))
 
 
 def control_workload(procs: int = 8, trials: int = 2) -> float:
-    """Fixed Ray-free control: parse a pinned 20k-doc corpus slice with a
-    multiprocessing pool (same kernels as tools/mp_scaling_control.py).
-    Run in the SAME session as the flagship trials to normalize out box
-    load; returns best-of-``trials`` wall seconds."""
+    """Fixed Ray-free control: parse a pinned 100k-doc corpus with a
+    multiprocessing pool — the exact `tools/mp_scaling_control.py`
+    workload whose quiet-window wall (4.0 s @ 8 procs) is recorded in
+    BASELINE.md.  Run in the SAME session as the flagship trials to
+    normalize out box load; returns best-of-``trials`` wall seconds."""
     import multiprocessing as mp
 
     from osm2geojson_ray import synth
     from tools.mp_scaling_control import work
 
-    path = synth.ensure_corpus(20000)
-    n, tasks = 20000, 16
+    path = synth.ensure_corpus(100000)
+    n, tasks = 100000, 64
     chunks = [(path, i * n // tasks, (i + 1) * n // tasks) for i in range(tasks)]
     best = None
     for _ in range(trials):

@@ -574,14 +574,20 @@ def _embedding_dup_pairs_lsh(
     return distinct(cand, ["vec_a", "vec_b"], num_parts)
 
 
-def dedup_clusters(
-    docs: ray.data.Dataset, num_parts: int = 32, max_iters: int = 50
+def connected_components(
+    pairs: ray.data.Dataset,
+    vertices: ray.data.Dataset,
+    num_parts: int = 32,
+    max_iters: int = 50,
+    round_stats: list | None = None,
 ) -> ray.data.Dataset:
-    """Fuzzy dedup end-to-end: connected components over the MinHash-LSH
-    candidate-pair graph → (doc_id, cluster_id), where ``cluster_id`` is
-    the minimum doc_id reachable through near-duplicate pairs (singletons
-    map to themselves; the canonical survivor of each cluster is the row
-    with doc_id == cluster_id).
+    """Connected components over an undirected pair graph →
+    (doc_id, cluster_id), where ``cluster_id`` is the minimum doc_id
+    reachable from the vertex (isolated vertices map to themselves).
+    ``pairs`` carries (doc_a, doc_b) int edges; ``vertices`` any dataset
+    with a ``doc_id`` column, UNIQUE per doc_id, covering every edge
+    endpoint (an endpoint without a vertex row is silently dropped; a
+    duplicated vertex row would leave a stale label copy behind).
 
     Distributed min-label propagation over a CO-PARTITIONED edge index
     with a FRONTIER (delta) round — the one operator in the engine that
@@ -607,14 +613,16 @@ def dedup_clusters(
     components are band-bucket unions, so diameters stay small.  For
     adversarial long-chain graphs swap in star-contraction; the
     partitioning/merge shape here is unchanged.
+
+    ``round_stats``, if given, receives one int per round: the number of
+    labels that changed (== next round's frontier size) — the frontier
+    decay curve, recorded for the scale evidence in BASELINE.md.
     """
     import ray
 
     from ..functions.grouping import hash_keys
 
     P = max(2, int(num_parts))  # num_returns=1 would unwrap the shard tuple
-
-    pairs = dedup_minhash_pairs(docs, num_parts=num_parts).materialize()
 
     def bidir(t: pa.Table) -> pa.Table:
         a = t.column("doc_a").combine_chunks().cast(pa.int64())
@@ -625,7 +633,7 @@ def dedup_clusters(
 
     edges = pairs.map_batches(bidir, batch_format="pyarrow", zero_copy_batch=True).materialize()
 
-    seeds = docs.map_batches(
+    seeds = vertices.map_batches(
         lambda t: pa.table(
             {"doc_id": t.column("doc_id").combine_chunks().cast(pa.int64()),
              "label": t.column("doc_id").combine_chunks().cast(pa.int64())}
@@ -724,7 +732,10 @@ def dedup_clusters(
             new_frontiers.append(fr)
         label_parts = new_labels
         frontier_parts = new_frontiers
-        if sum(ray.get(changed_refs)) == 0:
+        n_changed = sum(ray.get(changed_refs))
+        if round_stats is not None:
+            round_stats.append(int(n_changed))
+        if n_changed == 0:
             break
 
     return ray.data.from_arrow_refs(label_parts).map_batches(
@@ -733,3 +744,17 @@ def dedup_clusters(
         ),
         batch_format="pyarrow", zero_copy_batch=True,
     )
+
+
+def dedup_clusters(
+    docs: ray.data.Dataset, num_parts: int = 32, max_iters: int = 50
+) -> ray.data.Dataset:
+    """Fuzzy dedup end-to-end: connected components over the MinHash-LSH
+    candidate-pair graph → (doc_id, cluster_id), where ``cluster_id`` is
+    the minimum doc_id reachable through near-duplicate pairs (singletons
+    map to themselves; the canonical survivor of each cluster is the row
+    with doc_id == cluster_id).  The propagation core is the public
+    ``connected_components`` operator; see its docstring for the
+    co-partitioned frontier design."""
+    pairs = dedup_minhash_pairs(docs, num_parts=num_parts).materialize()
+    return connected_components(pairs, docs, num_parts=num_parts, max_iters=max_iters)

@@ -195,3 +195,46 @@ def test_orders_without_lineitems():
     ref = odf[~odf.o_orderkey.isin(lset)]
     assert sorted(got.o_orderkey) == sorted(ref.o_orderkey)
     assert len(got) > 0
+
+
+def test_connected_components_long_chain_frontier_decay():
+    """The public connected_components operator on an explicit 64-vertex
+    chain (diameter 63 — adversarial for label propagation): correct
+    min-labels, and the recorded frontier decays monotonically after the
+    initial flood (the co-partitioned delta-round contract)."""
+    from osm2geojson_ray.stages.dedup import connected_components
+
+    n = 64
+    pairs = rd.from_arrow(
+        pa.table({"doc_a": pa.array(list(range(n - 1)), pa.int64()),
+                  "doc_b": pa.array(list(range(1, n)), pa.int64())})
+    ).repartition(4)
+    verts = rd.from_arrow(
+        pa.table({"doc_id": pa.array(list(range(n)), pa.int64())})
+    ).repartition(4)
+
+    stats: list = []
+    got = connected_components(
+        pairs, verts, num_parts=4, max_iters=200, round_stats=stats
+    ).to_pandas()
+    lab = dict(zip(got.doc_id, got.cluster_id))
+    assert lab == {i: 0 for i in range(n)}
+    # min-label on a chain: vertex i settles after i rounds, so the
+    # frontier (changed-count) shrinks by ~1 per round and ends at 0
+    assert stats[-1] == 0
+    assert all(a >= b for a, b in zip(stats, stats[1:]))
+
+
+def test_connected_components_forest_and_singletons():
+    from osm2geojson_ray.stages.dedup import connected_components
+
+    pairs = rd.from_arrow(
+        pa.table({"doc_a": pa.array([5, 6, 20, 21], pa.int64()),
+                  "doc_b": pa.array([6, 7, 21, 22], pa.int64())})
+    )
+    verts = rd.from_arrow(
+        pa.table({"doc_id": pa.array([5, 6, 7, 20, 21, 22, 99], pa.int64())})
+    )
+    got = connected_components(pairs, verts, num_parts=3).to_pandas()
+    lab = dict(zip(got.doc_id, got.cluster_id))
+    assert lab == {5: 5, 6: 5, 7: 5, 20: 20, 21: 20, 22: 20, 99: 99}
