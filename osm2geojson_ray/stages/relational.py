@@ -84,12 +84,15 @@ def orders_revenue_topn(
     cutoff: str = "1998-01-01",
     top_n: int = 10,
     num_parts: int = 32,
+    semi_mode: str = "auto",
+    broadcast_max: int = 2_000_000,
 ) -> ray.data.Dataset:
     """Top-``top_n`` orders by revenue among orders placed before
     ``cutoff`` by customers in ``segment`` — (o_orderkey, o_orderdate,
     revenue_c), revenue over ALL the order's lineitems.
 
-    TWO exchanges total (r4; was four — each ``partition_map`` is a
+    ONE exchange when the filtered customer side is small (r4; was four
+    in r3, two after the r4 fusion — each ``partition_map`` is a
     sort+coalesce all-to-all, and the fixed per-exchange cost dominated
     the query at small scale while extra exchanges are pure waste at
     any scale):
@@ -98,10 +101,16 @@ def orders_revenue_topn(
        are co-partitioned on ``o_orderkey`` in ONE tagged-union
        exchange; inside each partition the partials merge (final
        per-order sums) and immediately join the unique orders side.
-    2. the re-key on ``o_custkey`` co-partitions that result with the
-       segment's keys-only customer side; the semi-join AND the local
-       top-N both happen inside the partition, so at most ``top_n``
-       rows per partition reach the single-block final merge.
+    2. the customer semi-join. ``semi_mode='auto'`` counts the
+       segment's keys first (a pass over the small customer table):
+       ≤ ``broadcast_max`` keys → BROADCAST (sorted int64 key array
+       ``ray.put`` once, ``ray.get`` zero-copy in each partition task)
+       fused into exchange 1's partition fn together with the local
+       top-N, so no second exchange exists at all; above the gate →
+       the re-key exchange on ``o_custkey`` (the 100-TB fallback when
+       the segment's customer list itself is shuffle-sized).  At most
+       ``top_n`` rows per partition reach the single-block final merge
+       either way.
     """
     cut = np.datetime64(cutoff, "us")
 
@@ -136,16 +145,19 @@ def orders_revenue_topn(
             merged, rt, "o_orderkey", ["revenue_c"], ["o_custkey", "o_orderdate"]
         )
 
-    with_orders = cogroup_apply(
-        pre, orders_f, "o_orderkey", REV_SCHEMA, orders_schema,
-        merge_join, num_parts=num_parts,
-    )
-
     def cust_filter(t: pa.Table) -> pa.Table:
         keep = pc.equal(t.column("c_mktsegment"), segment)
         return pa.table({"o_custkey": t.filter(keep).column("c_custkey")})
 
     cust_f = customer.map_batches(cust_filter, batch_format="pyarrow", zero_copy_batch=True)
+
+    if semi_mode == "auto":
+        cf_mat = cust_f.materialize()
+        semi_mode = "broadcast" if cf_mat.count() <= broadcast_max else "exchange"
+        cust_f = cf_mat
+    if semi_mode not in ("broadcast", "exchange"):
+        raise ValueError(f"semi_mode must be 'auto', 'broadcast' or 'exchange', got {semi_mode!r}")
+
     joined_schema = pa.schema(
         [("o_orderkey", pa.int64()), ("revenue_c", pa.int64()),
          ("o_custkey", pa.int64()), ("o_orderdate", pa.timestamp("us"))]
@@ -168,20 +180,54 @@ def orders_revenue_topn(
              "revenue_c": taken.column("revenue_c")}
         )
 
-    def semi_topn(lt: pa.Table, rt: pa.Table) -> pa.Table:
+    def _member_topn(lt: pa.Table, keys: np.ndarray) -> pa.Table:
         ck = np.asarray(lt.column("o_custkey")) if lt.num_rows else np.empty(0, np.int64)
-        keys = np.unique(np.asarray(rt.column("o_custkey"))) if rt.num_rows else np.empty(0, np.int64)
         if len(keys) == 0 or len(ck) == 0:
             return local_topn(lt.slice(0, 0))
         pos = np.minimum(np.searchsorted(keys, ck), len(keys) - 1)
         return local_topn(lt.filter(pa.array(keys[pos] == ck)))
 
-    # re-key exchange fuses semi-join + per-partition top-N (≤ top_n rows
-    # leave any partition) → one-block final merge
-    sel = cogroup_apply(
-        with_orders, cust_f, "o_custkey", joined_schema,
-        pa.schema([("o_custkey", pa.int64())]), semi_topn, num_parts=num_parts,
-    )
+    if semi_mode == "broadcast":
+        # the segment's key set is bounded: sorted int64 array, put ONCE,
+        # zero-copy ray.get in every partition task — the semi-join and
+        # the local top-N fuse into exchange 1's partition fn, so the
+        # whole query is a single all-to-all
+        import ray as _ray
+
+        keys = np.unique(
+            np.concatenate(
+                [np.asarray(t.column("o_custkey")) for t in _ray.get(cust_f.to_arrow_refs())]
+                or [np.empty(0, np.int64)]
+            )
+        )
+        keys_ref = _ray.put(keys)
+
+        def merge_join_bcast(lt: pa.Table, rt: pa.Table) -> pa.Table:
+            return _member_topn(merge_join(lt, rt), _ray.get(keys_ref))
+
+        sel = cogroup_apply(
+            pre, orders_f, "o_orderkey", REV_SCHEMA, orders_schema,
+            merge_join_bcast, num_parts=num_parts,
+        )
+    else:
+        with_orders = cogroup_apply(
+            pre, orders_f, "o_orderkey", REV_SCHEMA, orders_schema,
+            merge_join, num_parts=num_parts,
+        )
+
+        def semi_topn(lt: pa.Table, rt: pa.Table) -> pa.Table:
+            keys = (
+                np.unique(np.asarray(rt.column("o_custkey")))
+                if rt.num_rows else np.empty(0, np.int64)
+            )
+            return _member_topn(lt, keys)
+
+        # re-key exchange fuses semi-join + per-partition top-N (≤ top_n rows
+        # leave any partition) → one-block final merge
+        sel = cogroup_apply(
+            with_orders, cust_f, "o_custkey", joined_schema,
+            pa.schema([("o_custkey", pa.int64())]), semi_topn, num_parts=num_parts,
+        )
     return sel.repartition(1).map_batches(
         local_topn, batch_format="pyarrow", zero_copy_batch=True
     )

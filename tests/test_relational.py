@@ -238,3 +238,26 @@ def test_connected_components_forest_and_singletons():
     got = connected_components(pairs, verts, num_parts=3).to_pandas()
     lab = dict(zip(got.doc_id, got.cluster_id))
     assert lab == {5: 5, 6: 5, 7: 5, 20: 20, 21: 20, 22: 20, 99: 99}
+
+
+def test_orders_topn_broadcast_exchange_parity():
+    """semi_mode='broadcast' (keys ray.put once, fused into exchange 1)
+    must be row-identical to semi_mode='exchange' (re-key all-to-all)."""
+    import ray
+
+    from osm2geojson_ray.pipelines.training import _read_clean
+    from osm2geojson_ray.stages import relational as R
+
+    sf = "/root/testdata/sf0.001"
+    li = _read_clean(f"{sf}/lineitem.parquet",
+                     columns=["l_orderkey", "l_extendedprice", "l_discount"])
+    orders = _read_clean(f"{sf}/orders.parquet",
+                         columns=["o_orderkey", "o_custkey", "o_orderdate"])
+    cust = _read_clean(f"{sf}/customer.parquet",
+                       columns=["c_custkey", "c_mktsegment"])
+    b = R.orders_revenue_topn(li, orders, cust, semi_mode="broadcast").to_pandas()
+    e = R.orders_revenue_topn(li, orders, cust, semi_mode="exchange").to_pandas()
+    assert len(b) == len(e) > 0
+    bs = b.sort_values("o_orderkey").reset_index(drop=True)
+    es = e.sort_values("o_orderkey").reset_index(drop=True)
+    assert bs.equals(es)
