@@ -80,11 +80,16 @@ def _max_member_fanins(relations: ray.data.Dataset) -> tuple[int, int]:
         flat = col.flatten()
         typ = flat.field("type")
         starts = np.cumsum(lens) - lens
+        ends = starts + lens
         out = []
         for want in ("node", "way"):
             is_t = np.asarray(pc.equal(typ, want).fill_null(False)).astype(np.int64)
-            cnt = np.add.reduceat(is_t, np.minimum(starts, len(is_t) - 1))
-            cnt[lens == 0] = 0
+            # prefix-sum segment sums, NOT reduceat: a zero-length row's
+            # clamped reduceat start would split the previous row's
+            # segment and steal its last member (undercounting the very
+            # fan-in the salt gate exists to catch)
+            csum = np.concatenate([[0], np.cumsum(is_t)])
+            cnt = csum[ends] - csum[starts]
             out.append(int(cnt.max()))
         return pa.table({"mn": pa.array([out[0]], pa.int64()),
                          "mw": pa.array([out[1]], pa.int64())})
@@ -166,11 +171,19 @@ def build(
     else:
         mat_src = mat = lambda name, ds: ds  # noqa: E731
     if cfg.overlap_stages == "auto":
+        import os
+
         import ray
 
-        overlap = cfg.materialize_shared and (
-            ray.is_initialized() and ray.cluster_resources().get("CPU", 0) >= 4
+        # before Ray auto-inits (first materialize), cluster_resources()
+        # isn't available — fall back to the host CPU count so library
+        # callers that rely on Ray Data auto-init still get the overlap
+        cpus = (
+            ray.cluster_resources().get("CPU", 0)
+            if ray.is_initialized()
+            else (os.cpu_count() or 1)
         )
+        overlap = cfg.materialize_shared and cpus >= 4
     else:
         overlap = cfg.materialize_shared and bool(cfg.overlap_stages)
 

@@ -390,6 +390,11 @@ def embedding_dup_pairs(
     """
     n_total: int | None = None
     if mode == "auto":
+        # materialize BEFORE counting so a non-trivial upstream pipeline
+        # executes once, not once for the plan gate and again for the
+        # chosen plan (count() on a bare read stays metadata-cheap; on a
+        # computed dataset it would otherwise run the whole thing)
+        embeddings = embeddings.materialize()
         n_total = embeddings.count()
         mode = "lsh" if n_total > auto_lsh_above else "exact"
     if mode == "lsh":
@@ -660,9 +665,12 @@ def connected_components(
     def concat_part(*tabs: pa.Table) -> pa.Table:
         return pa.concat_tables(tabs).combine_chunks()
 
-    def exchange_once(ds: ray.data.Dataset) -> list:
+    def exchange_once(ds: ray.data.Dataset, schema: pa.Schema) -> list:
         """One-time hash exchange: Dataset → P pinned partition tables."""
         blocks = ds.to_arrow_refs()
+        if not blocks:  # zero-block dataset: P empty shards of the schema
+            empty = ray.put(schema.empty_table())
+            return [empty for _ in range(P)]
         split_refs = [split_block.options(num_returns=P).remote(b, P) for b in blocks]
         return [concat_part.remote(*[sr[p] for sr in split_refs]) for p in range(P)]
 
@@ -713,8 +721,10 @@ def connected_components(
                              "label": pa.array(new[changed], pa.int64())})
         return shard, int(changed.sum()), frontier
 
-    edge_parts = exchange_once(edges)
-    label_parts = exchange_once(seeds)
+    edge_schema = pa.schema([("doc_id", pa.int64()), ("dst", pa.int64())])
+    label_schema = pa.schema([("doc_id", pa.int64()), ("label", pa.int64())])
+    edge_parts = exchange_once(edges, edge_schema)
+    label_parts = exchange_once(seeds, label_schema)
     frontier_parts = label_parts  # round 1: every vertex proposes
 
     for _ in range(max_iters):

@@ -53,26 +53,31 @@ def _rev_shape(g: pa.Table, sum_col: str) -> pa.Table:
     )
 
 
+def _revenue_local(t: pa.Table) -> pa.Table:
+    """Block-local revenue combiner: exact integer-cent revenue partials
+    per order — the oracle-parity rounding contract (SQL ROUND, half away
+    from zero) lives HERE and only here; both order_revenue and
+    orders_revenue_topn call it."""
+    ep = np.asarray(t.column("l_extendedprice"))
+    disc = np.asarray(t.column("l_discount"))
+    rev = _round_half_up_cents(ep) * (100 - _round_half_up_cents(disc))
+    tb = pa.table(
+        {"o_orderkey": t.column("l_orderkey"), "revenue_c": pa.array(rev)}
+    )
+    return _rev_shape(tb.group_by(["o_orderkey"]).aggregate([("revenue_c", "sum")]),
+                      "revenue_c_sum")
+
+
 def order_revenue(lineitem: ray.data.Dataset, num_parts: int = 32) -> ray.data.Dataset:
     """lineitem → (o_orderkey, revenue_c): exact integer-cent revenue per
     order.  Combiner inside each input block (≤ distinct-orders rows leave
     a block), then ONE hash exchange merges partials."""
 
-    def local(t: pa.Table) -> pa.Table:
-        ep = np.asarray(t.column("l_extendedprice"))
-        disc = np.asarray(t.column("l_discount"))
-        rev = _round_half_up_cents(ep) * (100 - _round_half_up_cents(disc))
-        tb = pa.table(
-            {"o_orderkey": t.column("l_orderkey"), "revenue_c": pa.array(rev)}
-        )
-        return _rev_shape(tb.group_by(["o_orderkey"]).aggregate([("revenue_c", "sum")]),
-                          "revenue_c_sum")
-
     def merge(t: pa.Table) -> pa.Table:
         return _rev_shape(t.group_by(["o_orderkey"]).aggregate([("revenue_c", "sum")]),
                           "revenue_c_sum")
 
-    pre = lineitem.map_batches(local, batch_format="pyarrow", zero_copy_batch=True)
+    pre = lineitem.map_batches(_revenue_local, batch_format="pyarrow", zero_copy_batch=True)
     return partition_map(pre, ["o_orderkey"], num_parts, merge)
 
 
@@ -114,17 +119,7 @@ def orders_revenue_topn(
     """
     cut = np.datetime64(cutoff, "us")
 
-    def rev_local(t: pa.Table) -> pa.Table:
-        ep = np.asarray(t.column("l_extendedprice"))
-        disc = np.asarray(t.column("l_discount"))
-        rev = _round_half_up_cents(ep) * (100 - _round_half_up_cents(disc))
-        tb = pa.table(
-            {"o_orderkey": t.column("l_orderkey"), "revenue_c": pa.array(rev)}
-        )
-        return _rev_shape(tb.group_by(["o_orderkey"]).aggregate([("revenue_c", "sum")]),
-                          "revenue_c_sum")
-
-    pre = lineitem.map_batches(rev_local, batch_format="pyarrow", zero_copy_batch=True)
+    pre = lineitem.map_batches(_revenue_local, batch_format="pyarrow", zero_copy_batch=True)
 
     def orders_filter(t: pa.Table) -> pa.Table:
         keep = pc.less(t.column("o_orderdate"), pa.scalar(cut, pa.timestamp("us")))

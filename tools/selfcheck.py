@@ -76,8 +76,10 @@ def main() -> int:
     sys.path.insert(0, ".")
     import __ray_entry__ as E
 
-    # explicit names may name consolidated (non-driver-view) queries
-    queries = E.queries(full=bool(only))
+    # the local check is cheap for all 55 — always use the FULL registry
+    # (the driver-view filter exists for driver wall-time, not here), so
+    # a full run still oracle-checks the 5 consolidated queries
+    queries = E.queries(full=True)
     oracles = E.oracle_sql()
     con = duckdb.connect()
     for t in ["region", "nation", "customer", "supplier", "part", "orders",
