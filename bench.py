@@ -183,6 +183,7 @@ def run_queries() -> dict:
     timed("text_quality", lambda: T.quality(docs(["doc_id", "text"])))
     timed("dedup_exact", lambda: D.dedup_exact(docs(["doc_id", "text"])))
     timed("minhash_pairs", lambda: D.dedup_minhash_pairs(docs(["doc_id", "text"])))
+    timed("dedup_clusters", lambda: D.dedup_clusters(docs(["doc_id", "text"])))
     timed(
         "jaccard_pairs",
         lambda: D.ngram_jaccard_pairs(docs(["doc_id", "text", "source"])),
