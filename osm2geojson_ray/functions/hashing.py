@@ -56,6 +56,17 @@ def md5int60_batch(strs) -> "np.ndarray":  # noqa: F821 — numpy imported lazil
 SHINGLE_C1 = 774_856_843
 SHINGLE_C2 = 386_217_529
 
+# 64-bit variant for EXACT-dedup shingle IDs (ngram_jaccard explode, r5):
+# x = h1*U1 + h2*U2 + h3 (mod 2^64, h_i = full 60-bit md5int60(tok_i)) —
+# same dictionary-encoded vectorization as minhash, but the full-width
+# wrap keeps the per-pair collision rate at ~2^-64 (vs ~2^-60 for the
+# old md5(shingle-string) ids, ~2^-30 for the MOD composition), because
+# jaccard's string-level oracle cannot absorb ID collisions the way the
+# composition-replicating minhash oracle can.  Odd 64-bit mix constants
+# (golden-ratio / xxhash avalanche primes).
+SHINGLE_U1 = 0x9E3779B97F4A7C15
+SHINGLE_U2 = 0xC2B2AE3D27D4EB4F
+
 
 def tokens(text: str) -> list[str]:
     """Whitespace tokens, split on single space — matches DuckDB

@@ -391,26 +391,22 @@ def q_pip(sf_dir: str) -> ray.data.Dataset:
 
 def q_rejects_dup_ids(sf_dir: str):
     ds = P.duplicate_id_rejects(_core(sf_dir, "elements"), num_parts=8)
+    # Ray drops block schema when EVERY output block is empty (the normal
+    # case — a clean corpus has no duplicate ids), so the result would
+    # surface with null-typed columns and fail a type-sensitive compare.
+    # Cast to the operator's fixed arrow schema (r5: arrow types, not
+    # pandas object dtypes — the driver's value hash is type-sensitive);
+    # rejects tables are small by contract, so the materialization is
+    # what the gate does anyway.
+    schema = pa.schema(
+        [("doc_id", pa.string()), ("span_idx", pa.int64()),
+         ("kind", pa.string()), ("elem_id", pa.int64()),
+         ("reason", pa.string())]
+    )
     df = ds.to_pandas()
     if df.shape[1] == 0:
-        # Ray drops block schema when EVERY output block is empty (the
-        # normal case — a clean corpus has no duplicate ids), so
-        # Dataset.to_pandas() yields a zero-column frame and the gate's
-        # schema compare fails.  Restore the operator's fixed schema;
-        # rejects tables are small by contract, so the materialization is
-        # what the gate does anyway.
-        import pandas as pd
-
-        df = pd.DataFrame(
-            {
-                "doc_id": pd.Series(dtype="object"),
-                "span_idx": pd.Series(dtype="int64"),
-                "kind": pd.Series(dtype="object"),
-                "elem_id": pd.Series(dtype="int64"),
-                "reason": pd.Series(dtype="object"),
-            }
-        )
-    return df
+        return schema.empty_table()
+    return pa.Table.from_pandas(df, preserve_index=False).cast(schema)
 
 
 def q_rejects(sf_dir: str) -> ray.data.Dataset:

@@ -596,7 +596,8 @@ sel AS (
    AND o.o_orderdate < TIMESTAMP '1998-01-01'
   JOIN customer c ON o.o_custkey = c.c_custkey
    AND c.c_mktsegment = 'BUILDING')
-SELECT o_orderkey, CAST(epoch_us(o_orderdate) AS BIGINT) AS o_orderdate, revenue_c
+SELECT o_orderkey, CAST(epoch_us(o_orderdate) AS BIGINT) AS o_orderdate,
+       CAST(revenue_c AS BIGINT) AS revenue_c
 FROM sel ORDER BY revenue_c DESC, o_orderkey LIMIT 10
 """
 

@@ -218,7 +218,8 @@ def ngram_jaccard_pairs(
     PPJoin-style prefix-filtered plan (replaces the r1 per-source
     all-pairs merge, which materialized a whole source in one task):
 
-    1. explode distinct shingle HASHES (md5int60) with per-doc set size;
+    1. explode distinct shingle HASHES (uint64-composed token md5s,
+       vectorized) with per-doc set size;
     2. global shingle document-frequency (per-batch combiner + one
        hash exchange on (source, shingle));
     3. per-doc PREFIX under the global (df, hash) total order:
@@ -230,31 +231,63 @@ def ngram_jaccard_pairs(
        lists joined in (nested-capable engine join), |A∩B| by sorted
        intersection.
 
-    Hashing shingles to 60-bit ids bounds false intersections at ~2^-60
-    per pair (disclosed divergence from the string-exact oracle; no
-    observable effect at any tested scale).  No kernel's work grows
-    quadratically with its partition size."""
+    Hashing shingles to 64-bit composed ids bounds false intersections
+    at ~2^-64 per pair (disclosed divergence from the string-exact
+    oracle; no observable effect at any tested scale).  No kernel's
+    work grows quadratically with its partition size."""
     from ..functions.grouping import group_to_lists
     from ..functions.joins import flat_join, join_on_unique
 
     def explode(t: pa.Table) -> pa.Table:
-        ids = t.column("doc_id").to_pylist()
-        srcs = t.column("source").to_pylist()
-        out_s: list[str] = []
-        out_d: list[int] = []
-        out_h: list[int] = []
-        out_n: list[int] = []
-        for i, s, text in zip(ids, srcs, t.column("text").to_pylist()):
-            hs = {H.md5int60(x) for x in set(H.shingles(text))}
-            out_s.extend([s] * len(hs))
-            out_d.extend([i] * len(hs))
-            out_h.extend(hs)
-            out_n.extend([len(hs)] * len(hs))
+        # vectorized (r5, VERDICT r4 #6): md5 once per DISTINCT token via
+        # text.token_hash_flat, shingle ids composed as uint64-wrap
+        # arithmetic over the flat hash array (functions.hashing.SHINGLE_U*),
+        # per-doc distinct via one lexsort — same machinery as
+        # minhash_signatures.sig, no per-shingle Python/crypto loop.
+        from .text import token_hash_flat
+
+        empty = pa.table(
+            {"source": pa.array([], pa.string()),
+             "doc_id": pa.array([], pa.int64()),
+             "h": pa.array([], pa.int64()),
+             "size": pa.array([], pa.int64())}
+        )
+        n = t.num_rows
+        if n == 0:
+            return empty
+        ids = np.asarray(t.column("doc_id"))
+        src = t.column("source").combine_chunks()
+        text = t.column("text").combine_chunks()
+        lens, th60 = token_hash_flat(text)
+        th = th60.astype(np.uint64)
+        rows = np.zeros(0, np.int64)
+        xs = np.zeros(0, np.uint64)
+        if len(th) >= H.SHINGLE_K:
+            x_all = (th[:-2] * np.uint64(H.SHINGLE_U1)
+                     + th[1:-1] * np.uint64(H.SHINGLE_U2) + th[2:])
+            row_of = np.repeat(np.arange(n, dtype=np.int64), lens)
+            valid = row_of[:-2] == row_of[2:]
+            rows, xs = row_of[:-2][valid], x_all[valid]
+        short = lens < H.SHINGLE_K
+        if short.any():
+            stext = text.filter(pa.array(short))
+            sx = H.md5int60_batch(
+                np.asarray(stext.to_pandas(), dtype=object)).astype(np.uint64)
+            rows = np.concatenate([rows, np.nonzero(short)[0]])
+            xs = np.concatenate([xs, sx])
+        if len(rows) == 0:
+            return empty
+        order = np.lexsort((xs, rows))
+        r, x = rows[order], xs[order]
+        first = np.ones(len(r), bool)
+        first[1:] = (r[1:] != r[:-1]) | (x[1:] != x[:-1])
+        r, x = r[first], x[first]
+        sizes = np.bincount(r, minlength=n)
         return pa.table(
-            {"source": pa.array(out_s, pa.string()),
-             "doc_id": pa.array(out_d, pa.int64()),
-             "h": pa.array(out_h, pa.int64()),
-             "size": pa.array(out_n, pa.int64())}
+            {"source": src.take(pa.array(r)),
+             "doc_id": pa.array(ids[r], pa.int64()),
+             "h": pa.array(x.view(np.int64), pa.int64()),
+             "size": pa.array(sizes[r], pa.int64())}
         )
 
     sh = docs.map_batches(explode, batch_format="pyarrow", zero_copy_batch=True).materialize()
@@ -585,6 +618,7 @@ def connected_components(
     num_parts: int = 32,
     max_iters: int = 50,
     round_stats: list | None = None,
+    on_nonconverge: str = "raise",
 ) -> ray.data.Dataset:
     """Connected components over an undirected pair graph →
     (doc_id, cluster_id), where ``cluster_id`` is the minimum doc_id
@@ -622,6 +656,14 @@ def connected_components(
     ``round_stats``, if given, receives one int per round: the number of
     labels that changed (== next round's frontier size) — the frontier
     decay curve, recorded for the scale evidence in BASELINE.md.
+
+    Convergence contract (r5, ADVICE r4): min-label propagation needs
+    ~diameter rounds; if the frontier is still nonzero after
+    ``max_iters`` rounds the labels are PARTIAL.  ``on_nonconverge``
+    selects what happens then: ``'raise'`` (default — wrong cluster ids
+    must not flow silently downstream) or ``'warn'`` (returns the
+    partial labels after a ``RuntimeWarning``; ``round_stats`` ending
+    nonzero identifies the partial result programmatically).
     """
     import ray
 
@@ -727,6 +769,10 @@ def connected_components(
     label_parts = exchange_once(seeds, label_schema)
     frontier_parts = label_parts  # round 1: every vertex proposes
 
+    if on_nonconverge not in ("raise", "warn"):
+        raise ValueError(f"on_nonconverge must be 'raise' or 'warn', got {on_nonconverge!r}")
+
+    n_changed = 0
     for _ in range(max_iters):
         prop_grid = [
             propose.options(num_returns=P).remote(edge_parts[p], frontier_parts[p])
@@ -747,6 +793,17 @@ def connected_components(
             round_stats.append(int(n_changed))
         if n_changed == 0:
             break
+
+    if n_changed > 0:
+        msg = (f"connected_components did not converge within max_iters="
+               f"{max_iters} ({n_changed} labels still changing): the "
+               f"returned cluster ids are PARTIAL. Raise max_iters "
+               f"(~graph diameter rounds are needed).")
+        if on_nonconverge == "raise":
+            raise RuntimeError(msg)
+        import warnings
+
+        warnings.warn(msg, RuntimeWarning, stacklevel=2)
 
     return ray.data.from_arrow_refs(label_parts).map_batches(
         lambda t: pa.table(

@@ -225,6 +225,43 @@ def test_connected_components_long_chain_frontier_decay():
     assert all(a >= b for a, b in zip(stats, stats[1:]))
 
 
+def test_connected_components_nonconvergence_contract():
+    """max_iters below the chain diameter must not return partial labels
+    silently: default raises; on_nonconverge='warn' warns and the
+    round_stats tail stays nonzero (the programmatic partial marker)."""
+    import warnings
+
+    import pytest
+
+    from osm2geojson_ray.stages.dedup import connected_components
+
+    n = 32  # chain diameter 31 >> max_iters=3
+    pairs = rd.from_arrow(
+        pa.table({"doc_a": pa.array(list(range(n - 1)), pa.int64()),
+                  "doc_b": pa.array(list(range(1, n)), pa.int64())})
+    ).repartition(2)
+    verts = rd.from_arrow(
+        pa.table({"doc_id": pa.array(list(range(n)), pa.int64())})
+    ).repartition(2)
+
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(pairs, verts, num_parts=2, max_iters=3)
+
+    stats: list = []
+    with warnings.catch_warnings(record=True) as rec:
+        warnings.simplefilter("always")
+        got = connected_components(
+            pairs, verts, num_parts=2, max_iters=3,
+            round_stats=stats, on_nonconverge="warn",
+        ).to_pandas()
+    assert any(issubclass(w.category, RuntimeWarning) for w in rec)
+    assert stats[-1] > 0  # partial marker
+    assert len(got) == n  # partial labels are still returned in warn mode
+
+    with pytest.raises(ValueError):
+        connected_components(pairs, verts, num_parts=2, on_nonconverge="explode")
+
+
 def test_connected_components_forest_and_singletons():
     from osm2geojson_ray.stages.dedup import connected_components
 

@@ -29,6 +29,33 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
     return df
 
 
+def _canon_type(t):
+    """Normalize arrow types that hash identically driver-side: the large_
+    variants carry the same values as their 32-bit-offset siblings."""
+    import pyarrow as pa
+
+    if pa.types.is_large_string(t):
+        return pa.string()
+    if pa.types.is_large_binary(t):
+        return pa.binary()
+    if pa.types.is_large_list(t) or pa.types.is_list(t):
+        return pa.list_(_canon_type(t.value_type))
+    return t
+
+
+def type_check(name: str, ray_types: dict, sql_types: dict) -> list[str]:
+    """Strict Arrow-type compare (VERDICT r4 #2): the driver's value hash is
+    type-sensitive (DuckDB SUM(BIGINT) -> decimal128(38,0) stayed invisible to
+    the float-coercing value compare for two rounds). Ray and oracle Arrow
+    types must match exactly, modulo large_* offset variants."""
+    problems = []
+    for c in sorted(set(ray_types) & set(sql_types)):
+        rt, st = _canon_type(ray_types[c]), _canon_type(sql_types[c])
+        if rt != st:
+            problems.append(f"arrow type of {c}: ray {rt} vs oracle {st}")
+    return problems
+
+
 def compare(name: str, ray_df: pd.DataFrame, sql_df: pd.DataFrame) -> list[str]:
     problems = []
     if len(ray_df) != len(sql_df):
@@ -101,10 +128,24 @@ def main() -> int:
         t0 = time.perf_counter()
         try:
             res = fn(sf_dir)
-            if hasattr(res, "to_pandas"):
+            ray_types = {}
+            if hasattr(res, "to_pandas") and hasattr(res, "materialize"):
+                # Ray Dataset: materialize ONCE so schema() + to_pandas()
+                # both read the same blocks (no double execution), and take
+                # the arrow types from the blocks, not a pandas round-trip
+                res = res.materialize()
+                sch = res.schema()
+                ray_types = dict(zip(sch.names, sch.types))
+                ray_df = res.to_pandas()
+            elif hasattr(res, "to_pandas"):  # pyarrow.Table
+                ray_types = {f.name: f.type for f in res.schema}
                 ray_df = res.to_pandas()
             else:
+                import pyarrow as pa
+
                 ray_df = pd.DataFrame(res)
+                t = pa.Table.from_pandas(ray_df, preserve_index=False)
+                ray_types = {f.name: f.type for f in t.schema}
         except Exception as e:  # noqa: BLE001
             print(f"[FAIL] {name}: ray side raised: {e!r}", flush=True)
             n_fail += 1
@@ -116,13 +157,16 @@ def main() -> int:
             continue
         t0 = time.perf_counter()
         try:
-            sql_df = con.execute(oracles[name]).df()
+            sql_tbl = con.execute(oracles[name]).arrow()
+            sql_types = {f.name: f.type for f in sql_tbl.schema}
+            sql_df = sql_tbl.to_pandas()
         except Exception as e:  # noqa: BLE001
             print(f"[FAIL] {name}: oracle raised: {e!r}", flush=True)
             n_fail += 1
             continue
         t_sql = time.perf_counter() - t0
         problems = compare(name, ray_df, sql_df)
+        problems += type_check(name, ray_types, sql_types)
         timing = f"(ray {t_ray:.1f}s, sql {t_sql:.1f}s)"
         if problems:
             print(f"[FAIL] {name}: " + "; ".join(problems) + f" {timing}", flush=True)
