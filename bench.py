@@ -51,7 +51,74 @@ BENCH_TRIALS = int(os.environ.get("GRAFT_BENCH_TRIALS", "3"))
 # read 11.9 s vs its 4.0 s quiet-window pin (factor 2.98) and every Ray
 # pipeline ran ~2-3x its quiet-window wall.  The longer control tracks
 # the degradation the pipelines actually see.
-CONTROL_REF_SEC = float(os.environ.get("GRAFT_CONTROL_REF_SEC", "4.0"))
+# r5 (ADVICE r4): env override renamed GRAFT_CONTROL_REF_SEC →
+# GRAFT_CONTROL100K_REF_SEC when the control workload changed from the
+# 20k/16-task job (ref 1.35 s) to the 100k/64-task job (ref 4.0 s) — an
+# environment still pinning the old name would silently compute ~3×-wrong
+# box_load_factor, so the old name is now ignored with a loud warning.
+if "GRAFT_CONTROL_REF_SEC" in os.environ:
+    print(
+        "WARNING: GRAFT_CONTROL_REF_SEC is IGNORED — the control workload "
+        "changed in r4 (100k docs/64 tasks, quiet-window ref 4.0 s); set "
+        "GRAFT_CONTROL100K_REF_SEC to override the new pin.",
+        file=sys.stderr,
+    )
+CONTROL_REF_SEC = float(os.environ.get("GRAFT_CONTROL100K_REF_SEC", "4.0"))
+
+# Code-pinned control (VERDICT r4 #4): one flagship trial of a FROZEN
+# commit per bench session, run from a detached git worktree in a fresh
+# process after the live trials.  The 100k mp control under-tracks
+# pipeline-visible contention (r4: control factor 1.30 during a measured
+# ~2.3-2.6× pipeline degradation); a frozen-code flagship trial measures
+# exactly what the pipelines see.  pinned_load_factor =
+# pinned_code_sec / PINNED_REF_SEC (quiet-window wall of the SAME commit,
+# recorded in BASELINE.md).  Disable with GRAFT_PINNED_CONTROL=0.
+PINNED_COMMIT = os.environ.get("GRAFT_PINNED_COMMIT", "f4881fe")
+# quiet-window wall of PINNED_COMMIT's flagship, keyed by SF (the pin is
+# only meaningful for the SF it was measured at; BENCH_r03 recorded
+# 26.5 s at sf0.1).  At an unpinned SF pinned_code_sec is still reported
+# but no load factor is derived from it.
+_PINNED_REF_BY_SF = {"0.1": 26.5}
+_pin_env = os.environ.get("GRAFT_PINNED_REF_SEC")
+PINNED_REF_SEC = (
+    float(_pin_env)
+    if _pin_env
+    else _PINNED_REF_BY_SF.get(
+        os.path.basename(os.path.normpath(SF_DIR)).replace("sf", "")
+    )
+)
+
+
+def pinned_code_control() -> float | None:
+    """Run one flagship trial of PINNED_COMMIT (same SF_DIR / CPU count,
+    GRAFT_BENCH_TRIALS=1) in a fresh process from a cached /tmp worktree;
+    returns its flagship wall seconds, or None if disabled/unavailable."""
+    if os.environ.get("GRAFT_PINNED_CONTROL", "1") != "1":
+        return None
+    repo = os.path.dirname(os.path.abspath(__file__))
+    wt = f"/tmp/osmray_pinned_{PINNED_COMMIT}"
+    try:
+        if not os.path.exists(os.path.join(wt, "bench.py")):
+            subprocess.run(
+                ["git", "worktree", "add", "--detach", "--force", wt, PINNED_COMMIT],
+                cwd=repo, check=True, capture_output=True, timeout=120,
+            )
+        env = dict(
+            os.environ,
+            GRAFT_BENCH_TRIALS="1",
+            GRAFT_PINNED_CONTROL="0",  # recursion guard if the pin advances
+            GRAFT_SF_DIR=SF_DIR,
+            RAY_GRAFT_CPUS=str(NUM_CPUS),
+        )
+        p = subprocess.run(
+            [sys.executable, os.path.join(wt, "bench.py"), "--flagship-only"],
+            cwd=wt, env=env, capture_output=True, text=True, timeout=1800,
+        )
+        line = [l for l in p.stdout.strip().splitlines() if l.startswith("{")][-1]
+        return float(json.loads(line)["flagship_sec"])
+    except Exception as e:  # noqa: BLE001 — a control must never fail the bench
+        print(f"WARNING: pinned-code control skipped: {e!r}", file=sys.stderr)
+        return None
 
 
 def control_workload(procs: int = 8, trials: int = 2) -> float:
@@ -317,6 +384,18 @@ def main_bench(flagship_only: bool = False, n_docs: int | None = None) -> dict:
         "value_normalized": round(flag["flagship_sec"] / box, 3),
         **{k: (round(v, 2) if isinstance(v, float) else v) for k, v in flag.items()},
     }
+    # code-pinned control AFTER shutdown (no resource overlap with the
+    # live session) and only for top-level bench runs, not scaling legs
+    if n_docs is None:
+        pinned = pinned_code_control()
+        if pinned is not None:
+            out["pinned_code_sec"] = round(pinned, 3)
+            if PINNED_REF_SEC:  # ref pin known for this SF
+                out["pinned_ref_sec"] = PINNED_REF_SEC
+                out["pinned_load_factor"] = round(pinned / PINNED_REF_SEC, 3)
+                out["value_pinned_normalized"] = round(
+                    flag["flagship_sec"] / (pinned / PINNED_REF_SEC), 3
+                )
     return out
 
 
