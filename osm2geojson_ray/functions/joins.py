@@ -75,7 +75,11 @@ def split_sides(t: pa.Table) -> tuple[pa.Table, pa.Table]:
 
 
 def _unique_order(
-    ut: pa.Table, uk: np.ndarray, key: str, on_duplicate: str = "error"
+    ut: pa.Table,
+    uk: np.ndarray,
+    key: str,
+    on_duplicate: str = "error",
+    duplicate_rank_cols: Sequence[str] | None = None,
 ) -> tuple[np.ndarray, np.ndarray]:
     """Sorted order + keys for the 'unique' join side, which must really
     be unique per key: searchsorted alignment would otherwise silently
@@ -87,16 +91,17 @@ def _unique_order(
     * ``on_duplicate='error'`` (default): fail loudly and
       deterministically instead of emitting run-dependent output.
     * ``on_duplicate='first'``: keep ONE deterministic winner per key —
-      the copy with the smallest content digest (md5 of the row's sorted
-      items), which is independent of shard/block arrival order — and
-      drop the rest from the join.  NOTE: this is the JOIN's own rule,
-      NOT the rule ``stages.parse.duplicate_id_rejects`` uses — that
-      stage sees the raw blobs and ranks by (md5(xml), doc_id,
-      span_idx).  The two agree whenever same-id copies parse to
-      identical rows (the only case observed in corpora); for a join
-      over a parsed table whose same-id copies DIFFER, pairing with the
-      rejects report requires threading an explicit digest column (e.g.
-      md5(xml)) through the join instead of relying on 'first'.
+      by default the copy with the smallest content digest (md5 of the
+      row's sorted items), which is independent of shard/block arrival
+      order — and drop the rest from the join.  With
+      ``duplicate_rank_cols`` (r5, VERDICT r4 #7) the winner is instead
+      the row with the lexicographically smallest tuple over those
+      columns: threading (xml_md5, doc_id, span_idx) through the unique
+      side makes the join's winner rule IDENTICAL to
+      ``stages.parse.duplicate_id_rejects``'s loser rule, so the
+      winner/rejects pairing holds even when same-id copies parse to
+      DIFFERING rows (without it the two rules only coincide when copies
+      parse identically — the observed corpus-defect case).
     * ``on_duplicate='any'``: keep an arbitrary (run-deterministic
       within a partitioning, but partition-arrival-dependent) copy with
       NO digest work — only valid when the unique side is keys-only
@@ -125,17 +130,30 @@ def _unique_order(
         raise ValueError(
             f"on_duplicate must be 'error', 'first' or 'any', got {on_duplicate!r}"
         )
-    import hashlib
-
     dup_mask = np.zeros(len(uk_sorted), dtype=bool)
     dup_mask[1:] |= eq
     dup_mask[:-1] |= eq
-    dig = np.full(len(uk_sorted), "", dtype=object)
     dpos = np.nonzero(dup_mask)[0]
-    # digest only the duplicated rows (rare corpus defect — not a hot path)
-    for p, row in zip(dpos, ut.take(pa.array(order[dpos])).to_pylist()):
-        dig[p] = hashlib.md5(repr(sorted(row.items())).encode()).hexdigest()
-    res = np.lexsort((dig, uk_sorted))
+    # rank only the duplicated rows (rare corpus defect — not a hot path);
+    # filler values outside dpos never compete (dup groups are contiguous
+    # and fully covered by dpos), so mixed-type comparisons cannot occur
+    if duplicate_rank_cols:
+        sub = ut.take(pa.array(order[dpos]))
+        rank_arrays = []
+        for c in duplicate_rank_cols:
+            full = np.zeros(len(uk_sorted), dtype=object)
+            full[dpos] = np.asarray(sub.column(c).to_pandas(), dtype=object)
+            rank_arrays.append(full)
+        # np.lexsort: LAST key is primary → (least-significant rank col
+        # first, …, most-significant rank col, then the join key)
+        res = np.lexsort((*reversed(rank_arrays), uk_sorted))
+    else:
+        import hashlib
+
+        dig = np.full(len(uk_sorted), "", dtype=object)
+        for p, row in zip(dpos, ut.take(pa.array(order[dpos])).to_pylist()):
+            dig[p] = hashlib.md5(repr(sorted(row.items())).encode()).hexdigest()
+        res = np.lexsort((dig, uk_sorted))
     uk2 = uk_sorted[res]
     first = np.ones(len(uk2), dtype=bool)
     first[1:] = uk2[1:] != uk2[:-1]
@@ -149,12 +167,13 @@ def join_unique_np(
     m_cols: list[str],
     u_cols: list[str],
     on_duplicate: str = "error",
+    duplicate_rank_cols: Sequence[str] | None = None,
 ) -> pa.Table:
     """In-partition vectorized inner join, right side unique on key —
     sorted searchsorted alignment (numpy + take: supports nested types)."""
     mk = np.asarray(mt.column(key)) if mt.num_rows else np.empty(0, np.int64)
     uk = np.asarray(ut.column(key)) if ut.num_rows else np.empty(0, np.int64)
-    order, uk_sorted = _unique_order(ut, uk, key, on_duplicate)
+    order, uk_sorted = _unique_order(ut, uk, key, on_duplicate, duplicate_rank_cols)
     ri = np.searchsorted(uk_sorted, mk)
     ri_clamped = np.minimum(ri, max(len(uk_sorted) - 1, 0))
     if len(uk_sorted) == 0:
@@ -219,6 +238,7 @@ def join_on_unique(
     how: str = "inner",
     num_parts: int = 64,
     on_duplicate: str = "error",
+    duplicate_rank_cols: Sequence[str] | None = None,
 ) -> ray.data.Dataset:
     """Join ``many`` with ``unique`` (unique per ``key``) on ``key``.
 
@@ -230,7 +250,9 @@ def join_on_unique(
     Schemas must be passed explicitly (lazy datasets; avoids a blocking
     schema() call).
     ``on_duplicate``: see ``_unique_order`` ('error' fails loudly on a
-    duplicated unique-side key; 'first' keeps a deterministic winner).
+    duplicated unique-side key; 'first' keeps a deterministic winner —
+    ranked by ``duplicate_rank_cols`` when given, so callers can pair
+    the join's winner with the ``duplicate_id_rejects`` loser report).
     """
     full = _union_schema(many_schema, unique_schema, key)
     many_names = [f.name for f in many_schema if f.name != key]
@@ -254,7 +276,7 @@ def join_on_unique(
         ut = t.filter(pa.array(side == 1)).combine_chunks()
         mk = np.asarray(mt.column(key))
         uk = np.asarray(ut.column(key))
-        order, uk_sorted = _unique_order(ut, uk, key, on_duplicate)
+        order, uk_sorted = _unique_order(ut, uk, key, on_duplicate, duplicate_rank_cols)
         ri = np.searchsorted(uk_sorted, mk)
         ri_clamped = np.minimum(ri, max(len(uk_sorted) - 1, 0))
         if len(uk_sorted) == 0:

@@ -171,28 +171,38 @@ def build(
     else:
         mat_src = mat = lambda name, ds: ds  # noqa: E731
     if cfg.overlap_stages == "auto":
-        import os
-
-        import ray
-
-        # before Ray auto-inits (first materialize), cluster_resources()
-        # isn't available — fall back to the host CPU count so library
-        # callers that rely on Ray Data auto-init still get the overlap
-        cpus = (
-            ray.cluster_resources().get("CPU", 0)
-            if ray.is_initialized()
-            else (os.cpu_count() or 1)
-        )
-        overlap = cfg.materialize_shared and cpus >= 4
+        overlap = None  # decided lazily at the first fan-out (see below)
     else:
         overlap = cfg.materialize_shared and bool(cfg.overlap_stages)
+
+    def _decide_overlap() -> bool:
+        # 'auto' is resolved LAZILY, at the first _fanout call — by then
+        # the 'elements' materialize has executed, so Ray is guaranteed
+        # initialized and cluster_resources() reflects the REAL cluster.
+        # (ADVICE r4: an os.cpu_count() fallback on a many-core host
+        # could enable overlap on a later-attached <4-CPU cluster —
+        # exactly the regime measured +15% slower from object-store
+        # contention.)
+        nonlocal overlap
+        if overlap is None:
+            import os
+
+            import ray
+
+            cpus = (
+                ray.cluster_resources().get("CPU", 0)
+                if ray.is_initialized()
+                else (os.cpu_count() or 1)  # unreachable in-pipeline; kept as a safe default
+            )
+            overlap = cfg.materialize_shared and cpus >= 4
+        return overlap
 
     def _fanout(jobs: list[tuple]):
         """Run independent (name, fn, ds) materializations concurrently.
         Thread-per-branch: each Dataset executes in its own streaming
         executor; concurrent drivers interleave their tasks so one
         branch's stage tail backfills with the other's work."""
-        if not overlap or len(jobs) == 1:
+        if not _decide_overlap() or len(jobs) == 1:
             return [fn(name, ds) for name, fn, ds in jobs]
         from concurrent.futures import ThreadPoolExecutor
 

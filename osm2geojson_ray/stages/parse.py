@@ -294,12 +294,16 @@ def duplicate_id_rejects(elements: ray.data.Dataset, num_parts: int = 64) -> ray
     shard/block arrival order.  Hash-partitioned on (kind, elem_id) so
     only same-key copies co-locate; digesting happens only inside
     duplicated groups.  NOTE this rule is THIS stage's own — the join's
-    ``on_duplicate='first'`` ranks by a digest of the PARSED row (see
-    ``functions.joins._unique_order``); the two coincide whenever
-    same-id copies parse identically (the observed corpus-defect case),
-    but a corpus whose same-id copies differ post-parse needs the xml
-    digest threaded through the join for the winner/losers pairing to
-    hold (OsmJoin problem-file spirit, OsmJoin.java:111-113)."""
+    ``on_duplicate='first'`` default ranks by a digest of the PARSED
+    row (see ``functions.joins._unique_order``); the two coincide
+    whenever same-id copies parse identically (the observed
+    corpus-defect case).  For a corpus whose same-id copies DIFFER
+    post-parse, thread (md5(xml), doc_id, span_idx) through the unique
+    side and pass ``duplicate_rank_cols=("xml_md5","doc_id","span_idx")``
+    to the join (r5) — then the join winner is exactly the complement of
+    this stage's losers (OsmJoin problem-file spirit,
+    OsmJoin.java:111-113; pinned by
+    tests/test_join.py::test_join_winner_pairs_with_rejects_loser)."""
     from ..functions.grouping import partition_map
 
     def prep(batch: pa.Table) -> pa.Table:

@@ -144,14 +144,43 @@ def orders_revenue_topn(
         keep = pc.equal(t.column("c_mktsegment"), segment)
         return pa.table({"o_custkey": t.filter(keep).column("c_custkey")})
 
-    cust_f = customer.map_batches(cust_filter, batch_format="pyarrow", zero_copy_batch=True)
+    def cust_dedup(t: pa.Table) -> pa.Table:
+        return pa.table({"o_custkey": pc.unique(t.column("o_custkey"))})
 
-    if semi_mode == "auto":
-        cf_mat = cust_f.materialize()
-        semi_mode = "broadcast" if cf_mat.count() <= broadcast_max else "exchange"
-        cust_f = cf_mat
-    if semi_mode not in ("broadcast", "exchange"):
+    # per-batch local key dedup (combiner): bounds what the broadcast path
+    # may pull to the driver and shrinks the exchange path's small side —
+    # the gate then counts (near-)distinct KEYS, not filtered rows
+    # (ADVICE r4: a segment with many duplicate custkeys was pushed to
+    # the exchange path unnecessarily)
+    cust_f = customer.map_batches(
+        cust_filter, batch_format="pyarrow", zero_copy_batch=True
+    ).map_batches(cust_dedup, batch_format="pyarrow", zero_copy_batch=True)
+
+    if semi_mode not in ("auto", "broadcast", "exchange"):
         raise ValueError(f"semi_mode must be 'auto', 'broadcast' or 'exchange', got {semi_mode!r}")
+    if semi_mode in ("auto", "broadcast"):
+        cf_mat = cust_f.materialize()
+        n_keys = cf_mat.count()  # upper bound: cross-block dups remain
+        if n_keys > broadcast_max:
+            # one SMALL-side exchange for the exact distinct count — far
+            # cheaper than mis-routing the big side, and its output is
+            # the deduped key table both paths want
+            from ..functions.grouping import distinct
+
+            cf_mat = distinct(cf_mat, ["o_custkey"], num_parts=num_parts).materialize()
+            n_keys = cf_mat.count()
+        cust_f = cf_mat
+        if semi_mode == "auto":
+            semi_mode = "broadcast" if n_keys <= broadcast_max else "exchange"
+        elif n_keys > broadcast_max:
+            # ADVICE r4: the explicit-broadcast path had NO size guard —
+            # a caller forcing broadcast on a shuffle-sized segment would
+            # OOM the driver pulling every block
+            raise ValueError(
+                f"semi_mode='broadcast' with {n_keys} distinct segment keys "
+                f"> broadcast_max={broadcast_max}: use semi_mode='exchange' "
+                f"(or raise broadcast_max if the driver can hold the keys)"
+            )
 
     joined_schema = pa.schema(
         [("o_orderkey", pa.int64()), ("revenue_c", pa.int64()),

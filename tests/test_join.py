@@ -230,6 +230,64 @@ def test_duplicate_id_rejects_two_shard_fixture(ray_session):
         ]
 
 
+def test_join_winner_pairs_with_rejects_loser(ray_session):
+    # VERDICT r4 #7: with the xml digest threaded through the unique side
+    # (duplicate_rank_cols), the join's 'first' winner must be EXACTLY the
+    # complement of duplicate_id_rejects' loser — even though the same-id
+    # copies parse to DIFFERING rows (different lat/lon/tags), under both
+    # shard orders.
+    import hashlib
+
+    import pyarrow as pa
+    import ray.data as rd
+
+    from osm2geojson_ray.functions.joins import join_on_unique
+    from osm2geojson_ray.schema import ELEMENTS
+    from osm2geojson_ray.stages.parse import duplicate_id_rejects, parse_nodes_batch
+
+    x1 = '<node id="7" lat="1" lon="1"><tag k="name" v="a"/></node>'
+    x2 = '<node id="7" lat="2" lon="2"><tag k="name" v="b"/></node>'
+    shard_a = pa.Table.from_pylist(
+        [{"doc_id": "s1", "span_idx": 0, "elem_idx": 0, "xml": x1}], schema=ELEMENTS)
+    shard_b = pa.Table.from_pylist(
+        [{"doc_id": "s2", "span_idx": 0, "elem_idx": 0, "xml": x2}], schema=ELEMENTS)
+
+    def parsed_with_digest(shard: pa.Table) -> pa.Table:
+        nodes = parse_nodes_batch(shard)
+        assert nodes.num_rows == shard.num_rows  # fixture: every span parses
+        return nodes.append_column(
+            "xml_md5",
+            pa.array([hashlib.md5(x.encode()).hexdigest()
+                      for x in shard.column("xml").to_pylist()]),
+        ).append_column("doc_id", shard.column("doc_id")).append_column(
+            "span_idx", shard.column("span_idx").cast(pa.int64())
+        )
+
+    uniq_schema = parsed_with_digest(shard_a).schema
+    many = pa.table({"node_id": pa.array([7], pa.int64()), "ref": ["w1"]})
+
+    for shards in ((shard_a, shard_b), (shard_b, shard_a)):
+        uniq = rd.from_arrow(parsed_with_digest(shards[0])).union(
+            rd.from_arrow(parsed_with_digest(shards[1]))
+        )
+        out = join_on_unique(
+            rd.from_arrow(many), uniq, "node_id",
+            pa.schema([("node_id", pa.int64()), ("ref", pa.string())]),
+            uniq_schema,
+            num_parts=2, on_duplicate="first",
+            duplicate_rank_cols=("xml_md5", "doc_id", "span_idx"),
+        ).take_all()
+        assert len(out) == 1
+        winner_doc = out[0]["doc_id"]
+
+        els = rd.from_arrow(shards[0]).union(rd.from_arrow(shards[1]))
+        losers = duplicate_id_rejects(els, num_parts=2).take_all()
+        assert len(losers) == 1
+        # winner and loser partition the two copies exactly
+        assert {winner_doc, losers[0]["doc_id"]} == {"s1", "s2"}
+        assert winner_doc != losers[0]["doc_id"]
+
+
 def test_auto_salt_triggers_on_mega_relation(ray_session):
     import pyarrow as pa
     import ray.data as rd

@@ -298,3 +298,11 @@ def test_orders_topn_broadcast_exchange_parity():
     bs = b.sort_values("o_orderkey").reset_index(drop=True)
     es = e.sort_values("o_orderkey").reset_index(drop=True)
     assert bs.equals(es)
+
+    # ADVICE r4: explicit broadcast on an over-gate key set must refuse
+    # (bounded driver pull), and auto must route it to the exchange path
+    # and still produce the same rows
+    with pytest.raises(ValueError, match="broadcast_max"):
+        R.orders_revenue_topn(li, orders, cust, semi_mode="broadcast", broadcast_max=3)
+    a = R.orders_revenue_topn(li, orders, cust, semi_mode="auto", broadcast_max=3).to_pandas()
+    assert a.sort_values("o_orderkey").reset_index(drop=True).equals(es)
