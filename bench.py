@@ -399,10 +399,20 @@ def main_bench(flagship_only: bool = False, n_docs: int | None = None) -> dict:
     return out
 
 
-def main_scaling() -> dict:
-    """Fresh-process runs at 8 and 32 CPUs on the same fixed corpus
+def main_scaling(cpuset: bool = False) -> dict:
+    """Fresh-process runs at N and 4N CPUs on the same fixed corpus
     (GRAFT_SCALE_DOCS docs), best of two trials per level, a settle pause
-    between legs (ray shutdown reaps asynchronously)."""
+    between legs (ray shutdown reaps asynchronously).
+
+    --cpuset (or GRAFT_SCALE_CPUSET=1) pins each leg's whole process tree
+    to exactly its nominal core count via taskset: the r4 CPU-metered
+    adjudication (BASELINE.md) showed UNPINNED low-CPU legs leak
+    parallelism — the driver + object-store IO threads run on cores the
+    nominal count doesn't own (a 1-CPU leg finished in fewer total CPU·s
+    than an 8-CPU leg while drawing >1 core), overstating the small-leg
+    denominator in every nominal ratio.  A pinned leg is the faithful
+    two-cluster-size proxy: an N-core cluster node has no spare cores to
+    leak onto."""
     from osm2geojson_ray import synth
 
     synth.ensure_corpus(SCALE_DOCS)  # generate once, outside any timing
@@ -412,10 +422,12 @@ def main_scaling() -> dict:
         best = None
         for _trial in range(2):
             env = dict(os.environ, RAY_GRAFT_CPUS=str(cpus), GRAFT_SF_DIR=SF_DIR)
+            argv = [sys.executable, os.path.abspath(__file__), "--flagship-only",
+                    "--scale-docs", str(SCALE_DOCS)]
+            if cpuset:
+                argv = ["taskset", "-c", f"0-{cpus - 1}"] + argv
             p = subprocess.run(
-                [sys.executable, os.path.abspath(__file__), "--flagship-only",
-                 "--scale-docs", str(SCALE_DOCS)],
-                env=env, capture_output=True, text=True, timeout=3600,
+                argv, env=env, capture_output=True, text=True, timeout=3600,
             )
             line = [l for l in p.stdout.strip().splitlines() if l.startswith("{")][-1]
             r = json.loads(line)
@@ -427,7 +439,9 @@ def main_scaling() -> dict:
     thr_4n = results[n4]["docs_per_sec"]
     eff = (thr_4n / thr_n) / (n4 / n)
     return {
-        "metric": f"scaling_efficiency_{n}_to_{n4}",
+        "metric": f"scaling_efficiency_{n}_to_{n4}"
+        + ("_cpuset" if cpuset else ""),
+        "cpuset_pinned": cpuset,
         "value": round(eff, 4),
         "unit": "ratio",
         "throughput_docs_per_sec": {str(n): round(thr_n, 2), str(n4): round(thr_4n, 2)},
@@ -448,6 +462,8 @@ def _parse_scale_docs() -> int | None:
 
 if __name__ == "__main__":
     if "--scaling" in sys.argv:
-        print(json.dumps(main_scaling()))
+        pin = ("--cpuset" in sys.argv
+               or os.environ.get("GRAFT_SCALE_CPUSET", "0") == "1")
+        print(json.dumps(main_scaling(cpuset=pin)))
     else:
         print(json.dumps(main_bench("--flagship-only" in sys.argv, _parse_scale_docs())))

@@ -113,15 +113,17 @@ class TreeCpuMeter:
         return sum(self.per_pid.values())
 
 
-def run_leg(cpus: int, scale_docs: int, sf_dir: str) -> dict:
+def run_leg(cpus: int, scale_docs: int, sf_dir: str, cpuset: bool = False) -> dict:
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     env = dict(os.environ, RAY_GRAFT_CPUS=str(cpus), GRAFT_SF_DIR=sf_dir,
                GRAFT_PINNED_CONTROL="0")
+    argv = [sys.executable, os.path.join(repo, "bench.py"), "--flagship-only",
+            "--scale-docs", str(scale_docs)]
+    if cpuset:  # pin the whole tree to exactly the nominal core count
+        argv = ["taskset", "-c", f"0-{cpus - 1}"] + argv
     t0 = time.perf_counter()
     p = subprocess.Popen(
-        [sys.executable, os.path.join(repo, "bench.py"), "--flagship-only",
-         "--scale-docs", str(scale_docs)],
-        env=env, cwd=repo, stdout=subprocess.PIPE, text=True,
+        argv, env=env, cwd=repo, stdout=subprocess.PIPE, text=True,
     )
     with TreeCpuMeter(p.pid) as meter:
         stdout, _ = p.communicate(timeout=3600)
@@ -149,6 +151,8 @@ def main() -> None:
                     default=int(os.environ.get("GRAFT_SCALE_DOCS", "600000")))
     ap.add_argument("--sf-dir", type=str,
                     default=os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1"))
+    ap.add_argument("--cpuset", action="store_true",
+                    help="taskset-pin each leg to its nominal core count")
     args = ap.parse_args()
 
     sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
@@ -158,14 +162,15 @@ def main() -> None:
 
     if args.pair:
         lo, hi = (int(x) for x in args.pair.split(","))
-        a = run_leg(lo, args.scale_docs, args.sf_dir)
+        a = run_leg(lo, args.scale_docs, args.sf_dir, cpuset=args.cpuset)
         time.sleep(5)
-        b = run_leg(hi, args.scale_docs, args.sf_dir)
+        b = run_leg(hi, args.scale_docs, args.sf_dir, cpuset=args.cpuset)
         nominal = (b["docs_per_sec"] / a["docs_per_sec"]) / (hi / lo)
         per_eff = (b["docs_per_sec"] / a["docs_per_sec"]) / (
             b["effective_cores"] / a["effective_cores"]
         )
         print(json.dumps({
+            "cpuset_pinned": args.cpuset,
             "legs": [a, b],
             "nominal_ratio": round(nominal, 3),
             "delivered_core_ratio": round(b["effective_cores"] / a["effective_cores"], 2),
@@ -173,7 +178,8 @@ def main() -> None:
             "cpu_sec_conserved": round(b["tree_cpu_sec"] / a["tree_cpu_sec"], 2),
         }))
     else:
-        print(json.dumps(run_leg(args.cpus or 2, args.scale_docs, args.sf_dir)))
+        print(json.dumps(run_leg(args.cpus or 2, args.scale_docs, args.sf_dir,
+                                 cpuset=args.cpuset)))
 
 
 if __name__ == "__main__":
