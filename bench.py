@@ -171,7 +171,7 @@ def corpus_stats(corpus: str) -> dict:
     return {"n_docs": t.num_rows, "n_spans": n_spans}
 
 
-def run_flagship(num_parts: int, n_docs: int | None = None) -> dict:
+def run_flagship(num_parts: int | str, n_docs: int | None = None) -> dict:
     """documents → parse → join DAG → features → vertex tiles, end-to-end."""
     import ray.data as rd
 
@@ -202,7 +202,9 @@ def run_flagship(num_parts: int, n_docs: int | None = None) -> dict:
         stages["features"] = round(time.perf_counter() - t1, 3)
         n_elements = g["elements"].count()
         t2 = time.perf_counter()
-        tiles = vertex_cells(features, 15, num_parts=num_parts).materialize()
+        tiles = vertex_cells(
+            features, 15, num_parts=stages.get("_num_parts", 32)
+        ).materialize()
         stages["tiles"] = round(time.perf_counter() - t2, 3)
         wall = round(time.perf_counter() - t0, 3)
         trials.append(wall)
@@ -353,10 +355,11 @@ def main_bench(flagship_only: bool = False, n_docs: int | None = None) -> dict:
     # control BEFORE ray.init: a Ray-free box-load probe in the same session
     control_sec = control_workload()
     _init_ray(NUM_CPUS)
-    # partition count is sized to the DATA (as on a real cluster), not to
-    # the local CPU count — the same job must run identically at N and 4N
-    num_parts = 32
-    flag = run_flagship(num_parts, n_docs=n_docs)
+    # partition count is sized to the DATA (ceil(bytes/64MB), r5 auto rule
+    # in functions.grouping.auto_num_parts).  At the scaling corpus both
+    # the N and 4N legs resolve to the SAME count (the byte term dominates
+    # the parallelism floor), so the job stays identical across the pair.
+    flag = run_flagship("auto", n_docs=n_docs)
     queries = {} if flagship_only else run_queries()
     import ray
 

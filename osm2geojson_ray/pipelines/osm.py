@@ -22,7 +22,17 @@ from ..stages.tiling import (
 
 @dataclass
 class OsmPipelineConfig:
-    num_parts: int = 64          # hash-shuffle partition count
+    # hash-shuffle partition count.  "auto" (default): sized from the
+    # materialized elements table's bytes via
+    # functions.grouping.auto_num_parts — ceil(bytes/64MB) with a
+    # max(8, cluster-CPUs) floor.  A fixed count is wrong at both ends
+    # of the scale axis: 64 parts over a 500 MB corpus makes ~10 ms
+    # reduce tasks whose dispatch+barrier latency dominates (measured
+    # 3.6× slower at 8 CPUs), while any fixed count under-splits 100 TB.
+    # Explicit ints are honored unchanged (tests, resume-stable
+    # checkpoint grains).  With materialize_shared=False the input size
+    # isn't knowable without an extra pass, so "auto" falls back to 64.
+    num_parts: int | str = "auto"
     # salt: >1 = salted mega-key collect; "auto" = enable only when the
     # corpus actually contains a mega-key (default — free on clean data,
     # bounded task memory when a planet-scale mega-relation appears)
@@ -151,7 +161,11 @@ def build(
     #3); a no-op when materialize_shared is off."""
     import time as _time
 
-    blocks = max(8, min(cfg.num_parts, 32))
+    from ..functions.grouping import auto_num_parts
+
+    if not (isinstance(cfg.num_parts, int) or cfg.num_parts == "auto"):
+        raise ValueError(f"num_parts must be an int or 'auto', got {cfg.num_parts!r}")
+    blocks = max(8, min(cfg.num_parts, 32)) if isinstance(cfg.num_parts, int) else 32
 
     def _timed(name: str, thunk):
         if stage_timings is None:
@@ -211,6 +225,17 @@ def build(
             return [f.result() for f in futs]
 
     elements = mat_src("elements", extract_elements(documents))
+    if cfg.num_parts == "auto":
+        # size_bytes() is free metadata on the materialized table; the
+        # lazy (materialize_shared=False) path would have to execute the
+        # whole extract to know it, so it keeps the legacy fixed count
+        np_resolved = (
+            auto_num_parts(elements.size_bytes()) if cfg.materialize_shared else 64
+        )
+    else:
+        np_resolved = cfg.num_parts
+    if stage_timings is not None:
+        stage_timings["_num_parts"] = np_resolved
     nodes, ways, relations = _fanout([
         ("parse_nodes", mat_src, P.parse_nodes(elements)),
         ("parse_ways", mat_src, P.parse_ways(elements)),
@@ -222,7 +247,7 @@ def build(
     # (too many concurrent operator stages contend); this mirrors the
     # reference's per-stage files and doubles as the checkpoint grain.
     # Independent BRANCHES of the DAG (J1J2 vs J3J4) still overlap.
-    np_ = cfg.num_parts
+    np_ = np_resolved
     salts = resolve_salts(ways, relations, cfg)
     wn = J.j1_way_nodes(nodes, P.way_edges(ways), np_)
     rn = J.j3_rel_nodes(nodes, P.node_rel_edges(relations), np_)

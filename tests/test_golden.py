@@ -69,3 +69,33 @@ def test_overlap_stages_parity(small_corpus_dir):
         )
 
     assert feats(True) == feats(False)
+
+def test_auto_num_parts_rule():
+    """Byte-driven partition count with a parallelism floor and a cap."""
+    from osm2geojson_ray.functions.grouping import auto_num_parts
+
+    mb = 1024 * 1024
+    assert auto_num_parts(10 * mb, cpus=4, target_mb=64) == 8      # floor max(8, cpus)
+    assert auto_num_parts(10 * mb, cpus=32, target_mb=64) == 32    # cpu floor
+    assert auto_num_parts(960 * mb, cpus=8, target_mb=64) == 15    # byte-driven
+    assert auto_num_parts(960 * mb, cpus=2, target_mb=64) == 15    # same job at N and 4N
+    assert auto_num_parts(10**15, cpus=32, target_mb=64) == 131072  # cap
+
+
+def test_auto_num_parts_build_parity(small_corpus_dir):
+    """num_parts='auto' is a partition-count choice only — identical
+    features to an explicit count."""
+    from osm2geojson_ray.pipelines.osm import OsmPipelineConfig, build
+    from osm2geojson_ray.sources.documents import read_documents
+
+    def feats(np_):
+        g = build(
+            read_documents(small_corpus_dir),
+            OsmPipelineConfig(num_parts=np_),
+        )
+        return sorted(
+            (r["feature_id"], r["geom_type"], tuple(r["xs"]), tuple(r["ys"]))
+            for r in g["features"].take_all()
+        )
+
+    assert feats("auto") == feats(8)
