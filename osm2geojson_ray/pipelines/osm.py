@@ -59,6 +59,15 @@ class OsmPipelineConfig:
     # idle slots to backfill, two concurrent exchanges just contend for
     # the object store).  Any real cluster is in the >= 4 regime.
     overlap_stages: bool | str = "auto"
+    # fold the three feature-projection materializations into the join
+    # fanouts instead of leaving them for a serial post-build stage:
+    # poi_features(nodes) runs beside J1J2∥J3J4, way_features beside
+    # J5J6, so their plan dispatch backfills join-stage idle (the r4
+    # CPU-metering showed the 8-CPU leg at ~49% utilization through the
+    # joins).  Scheduling-only: every build() caller consumes features,
+    # and the returned 'features' is then a union of pinned tables.
+    # Only active with materialize_shared (same gate as overlapping).
+    overlap_features: bool = True
 
 
 def _max_list_len(ds: ray.data.Dataset, col: str) -> int:
@@ -254,12 +263,24 @@ def build(
     # staged boundaries measured FASTER than a fully lazy DAG at the
     # 600k-doc corpus in both rounds (single-consumer J4 left lazy was
     # ~1.6x slower at 8 CPUs: concurrent operator stages contend)
-    complete_ways, rwn = _fanout([
+    do_feat = cfg.overlap_features and cfg.materialize_shared
+    jobs = [
         ("j1_j2_complete_ways", mat, J.j2_complete_ways(ways, wn, np_, salts["j2"])),
         ("j3_j4_rel_with_nodes", mat, J.j4_rel_with_nodes(relations, rn, np_, salts["j4"])),
-    ])
+    ]
+    if do_feat:
+        jobs.append(("features_points", mat, poi_features(nodes)))
+    res = _fanout(jobs)
+    complete_ways, rwn = res[0], res[1]
+    pois_m = res[2] if do_feat else None
     rw = J.j5_rel_ways(complete_ways, P.way_rel_edges(relations), np_)
-    complete_rels = mat("j5_j6_complete_relations", J.j6_complete_relations(rwn, rw, np_, salts["j6"]))
+    jobs = [("j5_j6_complete_relations", mat,
+             J.j6_complete_relations(rwn, rw, np_, salts["j6"]))]
+    if do_feat:
+        jobs.append(("features_ways", mat, way_features(complete_ways)))
+    res = _fanout(jobs)
+    complete_rels = res[0]
+    wfeat_m = res[1] if do_feat else None
     dag = {
         "way_nodes": wn,
         "complete_ways": complete_ways,
@@ -268,9 +289,11 @@ def build(
         "rel_ways": rw,
         "complete_relations": complete_rels,
     }
-    pois = poi_features(nodes)
-    wfeat = way_features(dag["complete_ways"])
+    pois = pois_m if pois_m is not None else poi_features(nodes)
+    wfeat = wfeat_m if wfeat_m is not None else way_features(dag["complete_ways"])
     rfeat = relation_features(dag["complete_relations"])
+    if do_feat:
+        rfeat = mat("features_rels", rfeat)
     features = pois.union(wfeat).union(rfeat)
     return {
         "elements": elements,

@@ -99,3 +99,21 @@ def test_auto_num_parts_build_parity(small_corpus_dir):
         )
 
     assert feats("auto") == feats(8)
+
+def test_overlap_features_parity(small_corpus_dir):
+    """Folding the feature projections into the join fanouts
+    (overlap_features) is a scheduling choice only."""
+    from osm2geojson_ray.pipelines.osm import OsmPipelineConfig, build
+    from osm2geojson_ray.sources.documents import read_documents
+
+    def feats(flag):
+        g = build(
+            read_documents(small_corpus_dir),
+            OsmPipelineConfig(num_parts=8, overlap_features=flag),
+        )
+        return sorted(
+            (r["feature_id"], r["geom_type"], tuple(r["xs"]), tuple(r["ys"]))
+            for r in g["features"].take_all()
+        )
+
+    assert feats(True) == feats(False)
