@@ -188,6 +188,13 @@ def run_flagship(num_parts: int | str, n_docs: int | None = None) -> dict:
     # warm the worker pool so process spawn isn't attributed to the pipeline
     rd.range(NUM_CPUS * 2).map_batches(lambda b: b).materialize()
 
+    # GRAFT_READ_BLOCKS: optional read-task count override.  The synth
+    # corpus is many 2000-doc files; Ray's default read makes ~1.7 MB
+    # blocks whose per-task dispatch dominates at low CPU counts.
+    read_kw = {}
+    if os.environ.get("GRAFT_READ_BLOCKS"):
+        read_kw["override_num_blocks"] = int(os.environ["GRAFT_READ_BLOCKS"])
+
     trials: list[float] = []
     best_stages: dict = {}
     out: dict = {}
@@ -195,7 +202,9 @@ def run_flagship(num_parts: int | str, n_docs: int | None = None) -> dict:
         stages: dict = {}
         t0 = time.perf_counter()
         g = build(
-            read_documents(corpus), OsmPipelineConfig(num_parts=num_parts), stage_timings=stages
+            read_documents(corpus, **read_kw),
+            OsmPipelineConfig(num_parts=num_parts),
+            stage_timings=stages,
         )
         t1 = time.perf_counter()
         features = g["features"].materialize()

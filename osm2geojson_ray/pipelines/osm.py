@@ -135,14 +135,18 @@ def resolve_salts(
     the trigger."""
     if cfg.salt != "auto":
         return {"j2": cfg.salt, "j4": cfg.salt, "j6": cfg.salt}
+    pick = _salt_picker(cfg)
+    mn, mw = _max_member_fanins(relations)
+    return {"j2": pick(_max_list_len(ways, "ns")), "j4": pick(mn), "j6": pick(mw)}
 
+
+def _salt_picker(cfg: "OsmPipelineConfig"):
     def pick(biggest: int) -> int | None:
         if biggest <= cfg.salt_trigger:
             return None
         return int(min(256, -(-biggest // cfg.salt_trigger) * 2))
 
-    mn, mw = _max_member_fanins(relations)
-    return {"j2": pick(_max_list_len(ways, "ns")), "j4": pick(mn), "j6": pick(mw)}
+    return pick
 
 
 def resolve_salt(
@@ -245,10 +249,30 @@ def build(
         np_resolved = cfg.num_parts
     if stage_timings is not None:
         stage_timings["_num_parts"] = np_resolved
+    # salt='auto' fan-in probes ride in the parse fanout threads: each
+    # probe is a small plan over a table its own thread just pinned, so
+    # the two probe dispatches overlap each other (and the remaining
+    # parse branches) instead of running as two serial plans between the
+    # parse and join stages.
+    salt_probe: dict[str, int] = {}
+    auto_salt = cfg.salt == "auto"
+
+    def mat_ways(name, ds):
+        w = mat_src(name, ds)
+        if auto_salt:
+            salt_probe["ns"] = _max_list_len(w, "ns")
+        return w
+
+    def mat_rels(name, ds):
+        r = mat_src(name, ds)
+        if auto_salt:
+            salt_probe["mn"], salt_probe["mw"] = _max_member_fanins(r)
+        return r
+
     nodes, ways, relations = _fanout([
         ("parse_nodes", mat_src, P.parse_nodes(elements)),
-        ("parse_ways", mat_src, P.parse_ways(elements)),
-        ("parse_relations", mat_src, P.parse_relations(elements)),
+        ("parse_ways", mat_ways, P.parse_ways(elements)),
+        ("parse_relations", mat_rels, P.parse_relations(elements)),
     ])
     rejects = P.parse_rejects(elements)
     # staged execution: a materialization boundary every 1-2 exchanges.
@@ -257,7 +281,15 @@ def build(
     # reference's per-stage files and doubles as the checkpoint grain.
     # Independent BRANCHES of the DAG (J1J2 vs J3J4) still overlap.
     np_ = np_resolved
-    salts = resolve_salts(ways, relations, cfg)
+    if auto_salt:
+        pick = _salt_picker(cfg)
+        salts = {
+            "j2": pick(salt_probe["ns"]),
+            "j4": pick(salt_probe["mn"]),
+            "j6": pick(salt_probe["mw"]),
+        }
+    else:
+        salts = {"j2": cfg.salt, "j4": cfg.salt, "j6": cfg.salt}
     wn = J.j1_way_nodes(nodes, P.way_edges(ways), np_)
     rn = J.j3_rel_nodes(nodes, P.node_rel_edges(relations), np_)
     # staged boundaries measured FASTER than a fully lazy DAG at the
