@@ -112,12 +112,18 @@ def partition_map(
     num_parts: int,
     fn: Callable[[pa.Table], pa.Table],
     coalesce: bool = True,
+    pre_partitioned: bool = False,
     **map_groups_kwargs,
 ) -> ray.data.Dataset:
     """Apply a vectorized ``fn`` to each hash partition of ``ds``.
 
     All rows sharing values of ``cols`` land in the same partition table.
     ``fn`` receives the partition with the ``__part`` column removed.
+
+    ``pre_partitioned``: the input already carries ``__part`` (the caller
+    fused ``with_partition_col`` into an upstream map that Ray fuses with
+    its producer), so no separate add-part stage is dispatched — one
+    fewer round of per-block tasks per exchange.
 
     ``coalesce`` bounds the output at ``num_parts`` blocks: Ray's sort
     shuffle emits roughly one block per *input* block, so chained
@@ -132,10 +138,10 @@ def partition_map(
     def run(t: pa.Table) -> pa.Table:
         return fn(t.drop_columns([PART_COL]))
 
-    out = (
-        ds.map_batches(add_part, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby(PART_COL)
-        .map_groups(run, batch_format="pyarrow", **map_groups_kwargs)
+    if not pre_partitioned:
+        ds = ds.map_batches(add_part, batch_format="pyarrow", zero_copy_batch=True)
+    out = ds.groupby(PART_COL).map_groups(
+        run, batch_format="pyarrow", **map_groups_kwargs
     )
     if coalesce:
         out = out.repartition(num_parts)

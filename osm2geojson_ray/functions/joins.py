@@ -28,7 +28,7 @@ import pyarrow as pa
 
 import ray.data
 
-from .grouping import partition_map
+from .grouping import partition_map, with_partition_col
 
 SIDE_COL = "__side"
 
@@ -210,9 +210,11 @@ def cogroup_apply(
     full = _union_schema(left_schema, right_schema, key)
 
     def tag(side: int):
+        # partition col is computed here so it fuses into the side's
+        # upstream map task — no separate post-union add-part stage
         def _f(t: pa.Table) -> pa.Table:
             t = t.append_column(SIDE_COL, pa.array(np.full(t.num_rows, side, np.int8)))
-            return _align(t, full)
+            return with_partition_col(_align(t, full), [key], num_parts)
 
         return _f
 
@@ -226,7 +228,7 @@ def cogroup_apply(
         lt, rt = split_sides(t)
         return fn(lt.select(left_names), rt.select(right_names))
 
-    return partition_map(unioned, [key], num_parts, run)
+    return partition_map(unioned, [key], num_parts, run, pre_partitioned=True)
 
 
 def join_on_unique(
@@ -259,9 +261,10 @@ def join_on_unique(
     unique_names = [f.name for f in unique_schema if f.name != key]
 
     def tag(side: int):
+        # partition col fused into the tag map (see cogroup_apply)
         def _f(t: pa.Table) -> pa.Table:
             t = t.append_column(SIDE_COL, pa.array(np.full(t.num_rows, side, np.int8)))
-            return _align(t, full)
+            return with_partition_col(_align(t, full), [key], num_parts)
 
         return _f
 
@@ -320,7 +323,7 @@ def join_on_unique(
             arrays.append(v.combine_chunks() if isinstance(v, pa.ChunkedArray) else v)
         return pa.Table.from_arrays(arrays, names=list(cols))
 
-    return partition_map(unioned, [key], num_parts, join_part)
+    return partition_map(unioned, [key], num_parts, join_part, pre_partitioned=True)
 
 
 def flat_join(
