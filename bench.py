@@ -188,12 +188,25 @@ def run_flagship(num_parts: int | str, n_docs: int | None = None) -> dict:
     # warm the worker pool so process spawn isn't attributed to the pipeline
     rd.range(NUM_CPUS * 2).map_batches(lambda b: b).materialize()
 
-    # GRAFT_READ_BLOCKS: optional read-task count override.  The synth
-    # corpus is many 2000-doc files; Ray's default read makes ~1.7 MB
-    # blocks whose per-task dispatch dominates at low CPU counts.
-    read_kw = {}
-    if os.environ.get("GRAFT_READ_BLOCKS"):
-        read_kw["override_num_blocks"] = int(os.environ["GRAFT_READ_BLOCKS"])
+    # Read-task sizing.  The synth corpus is many 2000-doc files; Ray's
+    # default read makes ~1.7 MB blocks whose per-task dispatch dominates
+    # at low CPU counts (interleaved A/B at 8 CPUs: elements stage
+    # 10.7-15.5 s default vs 4.7-6.2 s at 32 read blocks, flagship faster
+    # in every round).  Default: max(32, 4×CPUs, bytes/64MB) — byte term
+    # keeps blocks bounded on a huge corpus, CPU term keeps every core
+    # fed, 32 floor keeps read→extract pipelining fine-grained enough.
+    # GRAFT_READ_BLOCKS overrides.
+    corpus_bytes = sum(
+        e.stat().st_size for e in os.scandir(corpus) if e.name.endswith(".parquet")
+    )
+    read_blocks = int(
+        os.environ.get("GRAFT_READ_BLOCKS", 0)
+    ) or min(
+        max(32, 4 * NUM_CPUS, corpus_bytes // (64 * 1024 * 1024)),
+        # don't over-split a tiny corpus below ~1 MB per read block
+        max(8, corpus_bytes // (1024 * 1024)),
+    )
+    read_kw = {"override_num_blocks": read_blocks}
 
     trials: list[float] = []
     best_stages: dict = {}
