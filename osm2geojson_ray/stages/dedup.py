@@ -700,7 +700,12 @@ def connected_components(
         return tuple(ts.slice(offs[p], offs[p + 1] - offs[p]) for p in range(parts))
 
     @ray.remote
-    def split_block(t: pa.Table, parts: int) -> tuple:
+    def split_block(t: pa.Table, parts: int, schema: pa.Schema) -> tuple:
+        # empty upstream blocks arrive ZERO-COLUMN (a map task with no
+        # output rows emits a schemaless block); normalize to the shard
+        # schema so concat_part's pa.concat_tables sees one schema
+        if t.num_rows == 0:
+            t = schema.empty_table()
         return _split(t, parts)
 
     @ray.remote
@@ -713,7 +718,9 @@ def connected_components(
         if not blocks:  # zero-block dataset: P empty shards of the schema
             empty = ray.put(schema.empty_table())
             return [empty for _ in range(P)]
-        split_refs = [split_block.options(num_returns=P).remote(b, P) for b in blocks]
+        split_refs = [
+            split_block.options(num_returns=P).remote(b, P, schema) for b in blocks
+        ]
         return [concat_part.remote(*[sr[p] for sr in split_refs]) for p in range(P)]
 
     @ray.remote

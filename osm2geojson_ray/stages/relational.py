@@ -218,9 +218,16 @@ def orders_revenue_topn(
         # whole query is a single all-to-all
         import ray as _ray
 
+        # skip empty blocks: a map_batches task whose output had 0 rows
+        # yields a ZERO-COLUMN empty block (no schema), so reading
+        # "o_custkey" from it raises KeyError
         keys = np.unique(
             np.concatenate(
-                [np.asarray(t.column("o_custkey")) for t in _ray.get(cust_f.to_arrow_refs())]
+                [
+                    np.asarray(t.column("o_custkey"))
+                    for t in _ray.get(cust_f.to_arrow_refs())
+                    if t.num_rows
+                ]
                 or [np.empty(0, np.int64)]
             )
         )

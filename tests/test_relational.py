@@ -306,3 +306,59 @@ def test_orders_topn_broadcast_exchange_parity():
         R.orders_revenue_topn(li, orders, cust, semi_mode="broadcast", broadcast_max=3)
     a = R.orders_revenue_topn(li, orders, cust, semi_mode="auto", broadcast_max=3).to_pandas()
     assert a.sort_values("o_orderkey").reset_index(drop=True).equals(es)
+
+
+def test_empty_map_output_blocks_survive():
+    """Regression: a map_batches task whose output has 0 rows emits a
+    ZERO-COLUMN empty block (no schema).  Both to_arrow_refs consumers
+    that read columns from upstream blocks must tolerate them: the
+    orders_topn broadcast key pull (relational.py) and the
+    connected_components one-time hash exchange (dedup.py).  Surfaced at
+    sf0.001 where a 16-block customer read leaves some blocks with no
+    BUILDING rows at all."""
+    from osm2geojson_ray.stages import relational as R
+    from osm2geojson_ray.stages.dedup import connected_components
+
+    # customer: 3 explicit blocks, the middle one has NO BUILDING rows →
+    # its cust_filter output is empty → zero-column block downstream
+    cust = rd.from_arrow([
+        pa.table({"c_custkey": pa.array([0, 1], pa.int64()),
+                  "c_mktsegment": ["BUILDING", "FURNITURE"]}),
+        pa.table({"c_custkey": pa.array([2, 3], pa.int64()),
+                  "c_mktsegment": ["MACHINERY", "FURNITURE"]}),
+        pa.table({"c_custkey": pa.array([4], pa.int64()),
+                  "c_mktsegment": ["BUILDING"]}),
+    ])
+    orders = rd.from_arrow(pa.table({
+        "o_orderkey": pa.array([10, 11, 12], pa.int64()),
+        "o_custkey": pa.array([0, 2, 4], pa.int64()),
+        "o_orderdate": pa.array(
+            [np.datetime64("1995-01-01", "us")] * 3, pa.timestamp("us")),
+    }))
+    li = rd.from_arrow(pa.table({
+        "l_orderkey": pa.array([10, 11, 12], pa.int64()),
+        "l_extendedprice": pa.array([100.0, 200.0, 300.0]),
+        "l_discount": pa.array([0.0, 0.0, 0.10]),
+    }))
+    got = R.orders_revenue_topn(
+        li, orders, cust, semi_mode="broadcast", num_parts=4
+    ).to_pandas()
+    # customers 0 and 4 are BUILDING → orders 10 and 12 qualify
+    assert sorted(got.o_orderkey.tolist()) == [10, 12]
+
+    # connected_components: pairs dataset where one input block filters
+    # to zero rows → exchange_once must normalize the schemaless block
+    pairs_raw = rd.from_arrow([
+        pa.table({"doc_a": pa.array([1, 2], pa.int64()),
+                  "doc_b": pa.array([2, 3], pa.int64())}),
+        pa.table({"doc_a": pa.array([100], pa.int64()),
+                  "doc_b": pa.array([100], pa.int64())}),
+    ])
+    pairs = pairs_raw.map_batches(
+        lambda t: t.filter(pa.compute.less(t.column("doc_a"), 50)),
+        batch_format="pyarrow", zero_copy_batch=True,
+    )
+    verts = rd.from_arrow(pa.table({"doc_id": pa.array([1, 2, 3, 7], pa.int64())}))
+    labels = connected_components(pairs, verts, num_parts=4).to_pandas()
+    ref = {1: 1, 2: 1, 3: 1, 7: 7}
+    assert dict(zip(labels.doc_id, labels.cluster_id)) == ref
