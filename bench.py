@@ -36,7 +36,7 @@ SCALE_CPUS = tuple(
 )
 # flagship trials per bench run (VERDICT r2 #3: best-of-N, N>=3, so a
 # real regression is distinguishable from this VM's +-60% noise)
-BENCH_TRIALS = int(os.environ.get("GRAFT_BENCH_TRIALS", "3"))
+BENCH_TRIALS = int(os.environ.get("GRAFT_BENCH_TRIALS", "4"))
 # Pinned control constant: wall seconds of control_workload() measured on
 # this box in a quiet window (r4 2026-08-18, BASELINE.md scaling table:
 # the identical 100k-doc/64-task/8-proc workload measured 4.0 s).
