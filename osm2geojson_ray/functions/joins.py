@@ -326,6 +326,33 @@ def join_on_unique(
     return partition_map(unioned, [key], num_parts, join_part, pre_partitioned=True)
 
 
+def compact_nonempty_blocks(ds: ray.data.Dataset) -> ray.data.Dataset:
+    """Drop empty blocks from a BOUNDED dataset (materializes it).
+
+    Ray skips the UDF on an already-empty input block and emits a
+    ZERO-COLUMN placeholder instead ('new schema: .' warning), so a map
+    chain whose intermediate filters a block to 0 rows yields schemaless
+    blocks downstream.  The native hash-join aggregator then fails with
+    ArrowInvalid ("No match ... FieldRef") when a join partition receives
+    ONLY such blocks — which frontier-style datasets (a shrinking
+    ``remaining`` set re-joined each round, e.g. knn_distributed) hit as
+    soon as most blocks have drained.  Dropping the empties restores an
+    all-schema'd block list.  Use on small/frontier intermediates only —
+    this pins the dataset; big streaming sides should avoid producing
+    empty-block chains instead (first-map outputs keep their schema)."""
+    mat = ds.materialize()
+    refs, n_empty = [], 0
+    for bundle in mat.iter_internal_ref_bundles():
+        for ref, meta in bundle.blocks:
+            if meta.num_rows == 0:
+                n_empty += 1
+            else:
+                refs.append(ref)
+    if n_empty == 0 or not refs:
+        return mat
+    return ray.data.from_arrow_refs(refs)
+
+
 def flat_join(
     left: ray.data.Dataset,
     right: ray.data.Dataset,
@@ -336,7 +363,11 @@ def flat_join(
     """Ray-native hash join for flat-payload datasets.  Aggregator remote
     args are overridden so small clusters can't deadlock on actor-pool
     CPU reservations (observed with num_partitions ≈ num_cpus; 0.1 CPU
-    per aggregator keeps even 32 partitions under 4 reserved cores)."""
+    per aggregator keeps even 32 partitions under 4 reserved cores).
+
+    Callers feeding a side derived from a SHRINKING frontier should pass
+    it through ``compact_nonempty_blocks`` first (see its docstring for
+    the zero-column empty-block failure mode)."""
     return left.join(
         right,
         join_type=how,

@@ -632,7 +632,12 @@ def knn_distributed(
                  "rank": pa.array([], pa.int32())}
             )
         )
-    remaining = _points_flat(points)
+    # compact round 0 too: a features block with no Point rows filters to
+    # empty inside _points_flat, and the NEXT map (cell-id append) turns
+    # it into a zero-column block the join planner rejects
+    from ..functions.joins import compact_nonempty_blocks
+
+    remaining = compact_nonempty_blocks(_points_flat(points))
     rounds: list[ray.data.Dataset] = []
     res = index_res
     while True:
@@ -720,6 +725,12 @@ def knn_distributed(
         )
         if final or remaining.count() == 0:
             break
+        # the frontier shrinks every round: most blocks filter to empty,
+        # and a further map over an empty block emits a ZERO-COLUMN
+        # placeholder that breaks the native join once a join partition
+        # receives only those (32-CPU sf0.001 repro) — drop them; the
+        # frontier is small and scored is already materialized
+        remaining = compact_nonempty_blocks(remaining)
         # small centroid side: the terminal all-candidates round is cheap,
         # so jump straight there instead of paying per-round exchange
         # latency; large sides coarsen gradually (16x area per round)

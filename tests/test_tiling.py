@@ -258,3 +258,69 @@ def test_bbox_query_matches_bruteforce(small_corpus_dir):
             & (np.asarray(r["ys"]) >= B[1]) & (np.asarray(r["ys"]) <= B[3])).any()
     )
     assert got == ref and len(got) > 0
+
+
+def test_knn_distributed_empty_point_blocks():
+    """Regression (32-CPU sf0.001): features blocks with NO Point rows
+    filter to empty inside _points_flat, and the next map (cell-id
+    append) turns them into ZERO-COLUMN blocks the native join planner
+    rejects once a join partition receives only those.  knn_distributed
+    now compacts the frontier; result must still match brute force."""
+    import ray as raylib
+    import ray.data as rdd
+
+    from osm2geojson_ray.functions.joins import compact_nonempty_blocks
+    from osm2geojson_ray.stages.tiling import knn_distributed, knn_points_to_centroids
+
+    def feat(ids, gts, coords):
+        return pa.table(
+            {
+                "feature_id": pa.array(ids, pa.string()),
+                "geom_type": pa.array(gts, pa.string()),
+                "xs": pa.array([[c[0]] for c in coords], pa.list_(pa.float64())),
+                "ys": pa.array([[c[1]] for c in coords], pa.list_(pa.float64())),
+            }
+        )
+
+    # 6 blocks, 4 of them carrying ONLY LineString rows (no Points)
+    blocks = [
+        feat(["p1", "p2"], ["Point", "Point"], [(1.0, 1.0), (50.0, 10.0)]),
+        feat(["l1"], ["LineString"], [(0.0, 0.0)]),
+        feat(["l2"], ["LineString"], [(0.0, 0.0)]),
+        feat(["p3"], ["Point"], [(-40.0, -20.0)]),
+        feat(["l3"], ["LineString"], [(0.0, 0.0)]),
+        feat(["l4"], ["LineString"], [(0.0, 0.0)]),
+    ]
+    # chain an identity map so the Point filter inside _points_flat is
+    # NOT the first map over the raw blocks (matches the real pipeline)
+    points = rdd.from_arrow(blocks).map_batches(lambda t: t, batch_format="pyarrow")
+    polys = rdd.from_arrow(
+        feat(
+            ["a", "b", "c"],
+            ["Polygon"] * 3,
+            [(0.0, 0.0), (45.0, 12.0), (-39.0, -21.0)],
+        )
+    )
+    brute = sorted(
+        (r["point_id"], r["rank"], r["polygon_id"])
+        for r in knn_points_to_centroids(points, polys, k=2).take_all()
+    )
+    dist = sorted(
+        (r["point_id"], r["rank"], r["polygon_id"])
+        for r in knn_distributed(points, polys, k=2, index_res=4, num_parts=8).take_all()
+    )
+    assert dist == brute and len(brute) == 6  # 3 points x k=2
+
+    # direct unit: compact drops zero-column empties, keeps all rows
+    chain = (
+        rdd.from_arrow(blocks)
+        .map_batches(
+            lambda t: t.filter(pa.compute.equal(t.column("geom_type"), "Point")),
+            batch_format="pyarrow",
+        )
+        .map_batches(lambda t: t, batch_format="pyarrow")
+    )
+    compacted = compact_nonempty_blocks(chain)
+    tabs = raylib.get(compacted.to_arrow_refs())
+    assert all(t.num_rows > 0 and "feature_id" in t.schema.names for t in tabs)
+    assert sum(t.num_rows for t in tabs) == 3
