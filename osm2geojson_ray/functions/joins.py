@@ -362,16 +362,24 @@ def flat_join(
 ) -> ray.data.Dataset:
     """Ray-native hash join for flat-payload datasets.  Aggregator remote
     args are overridden so small clusters can't deadlock on actor-pool
-    CPU reservations (observed with num_partitions ≈ num_cpus; 0.1 CPU
-    per aggregator keeps even 32 partitions under 4 reserved cores).
+    CPU reservations: the per-aggregator share is sized so the WHOLE
+    aggregator pool reserves at most ~25% of the cluster's CPUs (capped
+    at the old 0.1 flat rate).  A flat 0.1 deadlocked at 2 CPUs with 16
+    partitions — 1.6 of 2 cores reserved leaves no whole core for any
+    map task, and the join waits on upstream forever.
 
     Callers feeding a side derived from a SHRINKING frontier should pass
     it through ``compact_nonempty_blocks`` first (see its docstring for
     the zero-column empty-block failure mode)."""
+    try:
+        avail = float(ray.cluster_resources().get("CPU", 4.0))
+    except Exception:
+        avail = 4.0
+    per_agg = min(0.1, max(0.01, (0.25 * avail) / max(1, num_partitions)))
     return left.join(
         right,
         join_type=how,
         num_partitions=num_partitions,
         on=tuple(on),
-        aggregator_ray_remote_args={"num_cpus": 0.1},
+        aggregator_ray_remote_args={"num_cpus": per_agg},
     )

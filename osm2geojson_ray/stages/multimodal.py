@@ -92,9 +92,18 @@ def extract_media_spans(documents: ray.data.Dataset) -> ray.data.Dataset:
 
 
 def media_features(documents: ray.data.Dataset, concurrency=(1, 4)) -> ray.data.Dataset:
-    """The full media pipeline: span extraction → actor-pool decode."""
+    """The full media pipeline: span extraction → actor-pool decode.
+
+    The stub actors declare ``num_cpus=0.5``: the stub's work is hash
+    arithmetic, and an honest fractional claim keeps a 2-CPU cluster
+    live — with the default 1.0, the two chained pools' MINIMUM actors
+    (decode + embed) held both cores and the upstream read tasks could
+    never schedule (observed livelock in the 2-CPU sweep).  A real
+    codec-holding decoder should claim its true core count here."""
     spans = extract_media_spans(documents)
-    return spans.map_batches(MediaDecodeStub, batch_format="pyarrow", concurrency=concurrency)
+    return spans.map_batches(
+        MediaDecodeStub, batch_format="pyarrow", concurrency=concurrency, num_cpus=0.5
+    )
 
 
 TARGET_EDGE = 224  # longest-side resize target (ViT-style preprocessing)
@@ -197,5 +206,5 @@ def media_frame_embeddings(
     """The full 4-stage multimodal chain: span extraction → decode →
     resize plan → frame sample → per-frame feature extraction."""
     return media_frames(documents, concurrency=concurrency).map_batches(
-        FrameEmbedStub, batch_format="pyarrow", concurrency=concurrency
+        FrameEmbedStub, batch_format="pyarrow", concurrency=concurrency, num_cpus=0.5
     )
