@@ -71,3 +71,29 @@ def test_disc_quantile_rank_semantics(vals, q):
     want = con.execute(f"SELECT quantile_disc(x, {q}) FROM t").fetchone()[0]
     con.close()
     assert ours == want
+
+
+@settings(max_examples=100, deadline=None)
+@given(
+    st.lists(st.integers(min_value=0, max_value=1 << 40), min_size=1, max_size=50),
+    st.lists(st.integers(min_value=1, max_value=97), min_size=1, max_size=5),
+)
+def test_hash_split_bucket_assignment(keys, weights):
+    """Vectorized bucket→label assignment == per-row md5 reference for
+    arbitrary positive weights (stages/sampling.hash_split kernel)."""
+    import hashlib
+
+    from osm2geojson_ray.stages.sampling import _bucket
+
+    names = [f"s{i}" for i in range(len(weights))]
+    bounds = np.cumsum(weights)
+    total = int(bounds[-1])
+    karr = np.asarray(keys, np.int64)
+    b = _bucket(karr, "seed-x", total)
+    got = np.asarray(names, dtype=object)[np.searchsorted(bounds, b, side="right")]
+    for k, lab in zip(keys, got):
+        h = int(hashlib.md5(f"seed-x:{k}".encode()).hexdigest()[:15], 16) % total
+        j = 0
+        while h >= bounds[j]:
+            j += 1
+        assert lab == names[j]
