@@ -410,6 +410,32 @@ def q_hll_users(sf_dir: str):
     return hll_registers(ev, "user_id", "event_type")
 
 
+# corpus-calibrated scrub battery: the production defaults (PII email/
+# phone/ssn/ip, stages/scrub.PII_PATTERNS) match nothing in the synthetic
+# word corpus, so the registry query scans patterns the corpus actually
+# contains — every pattern is Python-re/RE2-identical (no backrefs, no
+# lookaround, no prefix-shadowed alternation)
+SCRUB_PATTERNS = {
+    "vowel_run": "[aeiou]{2,}",
+    "scan_sort": r"\b(scan|sort)\b",
+    "ta_word": r"\bta\w+",
+}
+
+
+def q_pattern_scan(sf_dir: str):
+    from ..stages.scrub import pattern_scan
+
+    docs = _read_clean(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return pattern_scan(docs, SCRUB_PATTERNS)
+
+
+def q_pattern_redact(sf_dir: str):
+    from ..stages.scrub import pattern_redact
+
+    docs = _read_clean(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return pattern_redact(docs, SCRUB_PATTERNS)
+
+
 def q_split_stats(sf_dir: str):
     from ..stages.sampling import split_stats
 
@@ -473,6 +499,8 @@ TRAINING_QUERIES = {
     # always covered by tools/selfcheck.py)
     "split_stats": q_split_stats,
     "hash_sample": q_hash_sample,
+    "pattern_scan": q_pattern_scan,
+    "pattern_redact": q_pattern_redact,
 }
 
 
@@ -1011,6 +1039,27 @@ FROM b GROUP BY 1
     sql["hash_sample"] = f"""
 SELECT doc_id, {pr} AS priority FROM documents
 ORDER BY priority, doc_id LIMIT 100
+"""
+
+    # scrub battery (stages/scrub.py): patterns are re/RE2-identical, so
+    # count = len(regexp_extract_all) and sequential regexp_replace
+    # nesting reproduce the engine's one-scan-per-pattern passes exactly
+    sql["pattern_scan"] = r"""
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text, '[aeiou]{2,}')) AS BIGINT) AS n_vowel_run,
+       CAST(len(regexp_extract_all(text, '\b(scan|sort)\b')) AS BIGINT) AS n_scan_sort,
+       CAST(len(regexp_extract_all(text, '\bta\w+')) AS BIGINT) AS n_ta_word
+FROM documents
+"""
+
+    sql["pattern_redact"] = r"""
+SELECT doc_id,
+       regexp_replace(
+         regexp_replace(
+           regexp_replace(text, '[aeiou]{2,}', '<VOWEL_RUN>', 'g'),
+           '\b(scan|sort)\b', '<SCAN_SORT>', 'g'),
+         '\bta\w+', '<TA_WORD>', 'g') AS clean_text
+FROM documents
 """
 
     return sql
