@@ -54,10 +54,11 @@ def entry() -> Any:
 # tools/run_query.py (full registry) and tools/selfcheck.py <sf_dir>
 # <name>; the local selfcheck always runs the full registry.
 #
-# r5 additions (split_stats, hash_sample, pattern_scan, pattern_redact)
-# append at the REGISTRY TAIL: the view is 54 entries, but the proven 50
-# keep positions 1-50, so a positional driver cutoff records exactly the
-# planned rotation and the extras ride along if the driver reads further.
+# r5 additions (split_stats, hash_sample, pattern_scan, pattern_redact,
+# pack_sequences) append at the REGISTRY TAIL: the view is 55 entries,
+# but the proven 50 keep positions 1-50, so a positional driver cutoff
+# records exactly the planned rotation and the extras ride along if the
+# driver reads further.
 CONSOLIDATED = {
     "vectorize", "rejects", "simhash_pairs", "lineitem_rollup", "media_embed",
 }

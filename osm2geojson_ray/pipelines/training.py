@@ -436,6 +436,15 @@ def q_pattern_redact(sf_dir: str):
     return pattern_redact(docs, SCRUB_PATTERNS)
 
 
+def q_pack_sequences(sf_dir: str):
+    from ..stages.text import pack_sequences
+
+    docs = _read_clean(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "source", "text"]
+    )
+    return pack_sequences(docs, capacity=256)
+
+
 def q_split_stats(sf_dir: str):
     from ..stages.sampling import split_stats
 
@@ -501,6 +510,7 @@ TRAINING_QUERIES = {
     "hash_sample": q_hash_sample,
     "pattern_scan": q_pattern_scan,
     "pattern_redact": q_pattern_redact,
+    "pack_sequences": q_pack_sequences,
 }
 
 
@@ -1049,6 +1059,18 @@ SELECT doc_id,
        CAST(len(regexp_extract_all(text, '[aeiou]{2,}')) AS BIGINT) AS n_vowel_run,
        CAST(len(regexp_extract_all(text, '\b(scan|sort)\b')) AS BIGINT) AS n_scan_sort,
        CAST(len(regexp_extract_all(text, '\bta\w+')) AS BIGINT) AS n_ta_word
+FROM documents
+"""
+
+    # sequence packing: chunk_id = floor(preceding-token-cumsum/capacity)
+    # within source in doc_id order (window SUM excluding the current row
+    # = cumulative - current)
+    sql["pack_sequences"] = f"""
+SELECT doc_id, source,
+       CAST({_NTOK} AS BIGINT) AS n_tokens,
+       CAST((SUM({_NTOK}) OVER (PARTITION BY source ORDER BY doc_id
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             - {_NTOK}) // 256 AS BIGINT) AS chunk_id
 FROM documents
 """
 

@@ -282,3 +282,62 @@ def vocab_topk(docs: ray.data.Dataset, k: int = 100, num_parts: int = 32) -> ray
         .repartition(1)
         .map_batches(local_topk, batch_format="pyarrow", zero_copy_batch=True)
     )
+
+
+def pack_sequences(
+    docs: ray.data.Dataset, capacity: int = 1024, num_parts: int = 32
+) -> ray.data.Dataset:
+    """Sequence-packing chunk assignment for pre-training batch prep →
+    (doc_id, source, n_tokens, chunk_id): within each ``source``, in
+    doc_id order, ``chunk_id = floor(preceding-token-cumsum / capacity)``
+    — the concatenate-and-mark-boundaries packing rule (documents are
+    never split; a chunk may overrun ``capacity`` by less than one
+    document, the loader truncates/rolls at read time).  Token count is
+    the engine-standard whitespace count (count_substring(' ')+1 ==
+    len(string_split), token_stats semantics).
+
+    One exchange on ``source``; the prefix sum is inherently sequential
+    WITHIN a group (chunk ids depend on every earlier doc) and parallel
+    ACROSS groups — same partitioning contract as sessionize, so a
+    mega-source is a per-key floor, not a cluster-size problem.  The
+    in-partition work is a sort + one vectorized cumsum."""
+
+    def assign(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {"doc_id": pa.array([], pa.int64()),
+                 "source": pa.array([], pa.string()),
+                 "n_tokens": pa.array([], pa.int64()),
+                 "chunk_id": pa.array([], pa.int64())}
+            )
+        order = pc.sort_indices(t, sort_keys=[("doc_id", "ascending")])
+        t = t.take(order)
+        n_tok = np.asarray(pc.count_substring(t.column("text"), " "), np.int64) + 1
+        src = np.asarray(
+            t.column("source").combine_chunks().dictionary_encode().indices
+        )
+        # stable sort by source keeps doc_id order inside each segment
+        seg_order = np.argsort(src, kind="stable")
+        inv = np.empty_like(seg_order)
+        inv[seg_order] = np.arange(len(seg_order))
+        tok_seg = n_tok[seg_order]
+        cum = np.cumsum(tok_seg)
+        src_seg = src[seg_order]
+        starts = np.flatnonzero(np.r_[False, src_seg[1:] != src_seg[:-1]])
+        seg_base = np.zeros(len(tok_seg), np.int64)
+        seg_base[starts] = cum[starts - 1]
+        # n_tok >= 1 so cum is strictly increasing and the step levels
+        # propagate with a running max
+        seg_base = np.maximum.accumulate(seg_base)
+        prev = cum - tok_seg - seg_base  # preceding token sum within source
+        chunk_seg = prev // capacity
+        return pa.table(
+            {
+                "doc_id": t.column("doc_id"),
+                "source": t.column("source"),
+                "n_tokens": pa.array(n_tok, pa.int64()),
+                "chunk_id": pa.array(chunk_seg[inv], pa.int64()),
+            }
+        )
+
+    return partition_map(docs, ["source"], num_parts, assign)

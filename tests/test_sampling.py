@@ -88,3 +88,35 @@ def test_hash_sample_exact_topn_and_bounds():
     # n beyond the dataset returns every row, once
     all_rows = hash_sample(ds, n=10_000).to_pandas()
     assert sorted(all_rows.doc_id.tolist()) == list(range(400))
+
+
+def test_pack_sequences_matches_pandas():
+    from osm2geojson_ray.stages.text import pack_sequences
+
+    rng = np.random.default_rng(11)
+    n = 300
+    srcs = rng.choice(["s1", "s2", "s3"], n)
+    texts = ["w " * int(rng.integers(1, 40)) + "end" for _ in range(n)]
+    t = pa.table(
+        {
+            "doc_id": pa.array(rng.permutation(n), pa.int64()),  # unsorted ids
+            "source": pa.array(srcs, pa.string()),
+            "text": pa.array(texts),
+        }
+    )
+    got = (
+        pack_sequences(rd.from_arrow([t.slice(i * 50, 50) for i in range(6)]), capacity=64)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    df = t.to_pandas()
+    df["n_tokens"] = df.text.str.count(" ") + 1
+    df = df.sort_values("doc_id")
+    df["prev"] = df.groupby("source")["n_tokens"].cumsum() - df["n_tokens"]
+    df["chunk_id"] = df["prev"] // 64
+    ref = df[["doc_id", "source", "n_tokens", "chunk_id"]].reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        got[["doc_id", "source", "n_tokens", "chunk_id"]], ref, check_dtype=False
+    )
+    assert got.chunk_id.max() > 3  # multiple chunks actually formed
