@@ -134,26 +134,34 @@ def _unique_order(
     dup_mask[1:] |= eq
     dup_mask[:-1] |= eq
     dpos = np.nonzero(dup_mask)[0]
-    # rank only the duplicated rows (rare corpus defect — not a hot path);
-    # filler values outside dpos never compete (dup groups are contiguous
-    # and fully covered by dpos), so mixed-type comparisons cannot occur
+    # rank only the duplicated rows (rare corpus defect — not a hot path).
+    # The lexsort runs over ONLY the dpos subset: np.lexsort sorts by its
+    # least-significant key across the WHOLE array first, so full-length
+    # arrays with filler values would compare fillers against real rank
+    # values (int-0 vs str crashed when a partition held both duplicated
+    # and unique keys); the subset permutation is then scattered back.
     if duplicate_rank_cols:
         sub = ut.take(pa.array(order[dpos]))
-        rank_arrays = []
-        for c in duplicate_rank_cols:
-            full = np.zeros(len(uk_sorted), dtype=object)
-            full[dpos] = np.asarray(sub.column(c).to_pandas(), dtype=object)
-            rank_arrays.append(full)
+        sub_keys = [
+            np.asarray(sub.column(c).to_pandas(), dtype=object)
+            for c in duplicate_rank_cols
+        ]
         # np.lexsort: LAST key is primary → (least-significant rank col
         # first, …, most-significant rank col, then the join key)
-        res = np.lexsort((*reversed(rank_arrays), uk_sorted))
+        sub_res = np.lexsort((*reversed(sub_keys), uk_sorted[dpos]))
     else:
         import hashlib
 
-        dig = np.full(len(uk_sorted), "", dtype=object)
-        for p, row in zip(dpos, ut.take(pa.array(order[dpos])).to_pylist()):
-            dig[p] = hashlib.md5(repr(sorted(row.items())).encode()).hexdigest()
-        res = np.lexsort((dig, uk_sorted))
+        dig = np.asarray(
+            [
+                hashlib.md5(repr(sorted(row.items())).encode()).hexdigest()
+                for row in ut.take(pa.array(order[dpos])).to_pylist()
+            ],
+            dtype=object,
+        )
+        sub_res = np.lexsort((dig, uk_sorted[dpos]))
+    res = np.arange(len(uk_sorted))
+    res[dpos] = dpos[sub_res]
     uk2 = uk_sorted[res]
     first = np.ones(len(uk2), dtype=bool)
     first[1:] = uk2[1:] != uk2[:-1]

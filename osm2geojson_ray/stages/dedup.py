@@ -669,6 +669,11 @@ def connected_components(
 
     from ..functions.grouping import hash_keys
 
+    # validate BEFORE the exchanges: a bad argument must not cost two
+    # full cluster-wide hash exchanges first (review r5)
+    if on_nonconverge not in ("raise", "warn"):
+        raise ValueError(f"on_nonconverge must be 'raise' or 'warn', got {on_nonconverge!r}")
+
     P = max(2, int(num_parts))  # num_returns=1 would unwrap the shard tuple
 
     def bidir(t: pa.Table) -> pa.Table:
@@ -776,11 +781,15 @@ def connected_components(
     label_parts = exchange_once(seeds, label_schema)
     frontier_parts = label_parts  # round 1: every vertex proposes
 
-    if on_nonconverge not in ("raise", "warn"):
-        raise ValueError(f"on_nonconverge must be 'raise' or 'warn', got {on_nonconverge!r}")
-
     n_changed = 0
-    for _ in range(max_iters):
+    # max_iters + 1 rounds: labels that changed in round max_iters may
+    # already be COMPLETE (a graph of diameter exactly max_iters), and
+    # only a further all-quiet round can tell complete-at-the-boundary
+    # from partial — without it, a converged-in-exactly-max_iters graph
+    # raised a false non-convergence error (review r5).  The extra round
+    # costs one frontier pass and only runs when round max_iters changed
+    # something.
+    for _ in range(max_iters + 1):
         prop_grid = [
             propose.options(num_returns=P).remote(edge_parts[p], frontier_parts[p])
             for p in range(P)

@@ -117,16 +117,19 @@ def hash_sample(
     all-to-all.  For n at data scale, sort the priority column instead."""
 
     def local(t: pa.Table) -> pa.Table:
-        k = np.asarray(t.column(key))
+        k = np.asarray(t.column(key).to_pandas(), dtype=object)
         pr = _bucket(k, seed, 1 << 62)  # identity range: md5int60 < 2^60
         order = np.lexsort((k, pr))[:n]
-        return pa.table(
-            {key: pa.array(k[order], pa.int64()),
-             "priority": pa.array(pr[order], pa.int64())}
-        )
+        # take preserves the key column's type (int, string, …)
+        taken = t.select([key]).take(pa.array(order))
+        return taken.append_column("priority", pa.array(pr[order], pa.int64()))
 
     def final(t: pa.Table) -> pa.Table:
-        return local(t)
+        # candidates already carry their priority — resort, don't re-hash
+        k = np.asarray(t.column(key).to_pandas(), dtype=object)
+        pr = np.asarray(t.column("priority"), dtype=np.int64)
+        order = np.lexsort((k, pr))[:n]
+        return t.take(pa.array(order))
 
     pre = ds.map_batches(local, batch_format="pyarrow", zero_copy_batch=True)
     return pre.repartition(1).map_batches(

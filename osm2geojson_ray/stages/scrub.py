@@ -48,6 +48,16 @@ def _offsets(texts: list[str]) -> np.ndarray:
     return offs
 
 
+def _clean_texts(col: pa.ChunkedArray) -> list[str]:
+    """Null → '' and NUL bytes stripped: a document containing ``\\x00``
+    would corrupt the blob's document framing (redact's ``split`` would
+    yield extra pieces) — NUL is never legitimate text, and a scrub
+    stage dropping it is part of the cleaning contract (review r5)."""
+    return [
+        (s.replace(SEP, "") if s is not None else "") for s in col.to_pylist()
+    ]
+
+
 class PatternScan:
     """Actor-pool stage: per-document match counts for each named
     pattern → (doc_id, n_<name>...).  One C scan per pattern per batch."""
@@ -56,7 +66,7 @@ class PatternScan:
         self.pats = {k: re.compile(v) for k, v in (patterns or PII_PATTERNS).items()}
 
     def __call__(self, t: pa.Table) -> pa.Table:
-        texts = t.column("text").to_pylist()
+        texts = _clean_texts(t.column("text"))
         n = len(texts)
         cols: dict[str, pa.Array] = {"doc_id": t.column("doc_id")}
         if n == 0:
@@ -86,7 +96,7 @@ class PatternRedact:
         self.pats = {k: re.compile(v) for k, v in (patterns or PII_PATTERNS).items()}
 
     def __call__(self, t: pa.Table) -> pa.Table:
-        texts = t.column("text").to_pylist()
+        texts = _clean_texts(t.column("text"))
         if not texts:
             return pa.table(
                 {"doc_id": t.column("doc_id"), "clean_text": pa.array([], pa.string())}

@@ -634,10 +634,20 @@ def knn_distributed(
         )
     # compact round 0 too: a features block with no Point rows filters to
     # empty inside _points_flat, and the NEXT map (cell-id append) turns
-    # it into a zero-column block the join planner rejects
+    # it into a zero-column block the join planner rejects.  compact
+    # cannot repair an ALL-empty dataset (no block carries a schema), so
+    # the zero-points case short-circuits like zero-centroids above.
     from ..functions.joins import compact_nonempty_blocks
 
     remaining = compact_nonempty_blocks(_points_flat(points))
+    if remaining.count() == 0:
+        return ray.data.from_arrow(
+            pa.table(
+                {"point_id": pa.array([], pa.string()),
+                 "polygon_id": pa.array([], pa.string()),
+                 "rank": pa.array([], pa.int32())}
+            )
+        )
     rounds: list[ray.data.Dataset] = []
     res = index_res
     while True:

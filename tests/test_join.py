@@ -343,3 +343,30 @@ def test_resolve_salts_per_stage(ray_session):
     # explicit salt passes through to every stage
     s = resolve_salts(ways, rels, OsmPipelineConfig(salt=8))
     assert s == {"j2": 8, "j4": 8, "j6": 8}
+
+
+def test_duplicate_rank_cols_mixed_dup_and_unique_keys():
+    # review r5: np.lexsort sorts its least-significant key over the WHOLE
+    # array, so full-length rank arrays with int-0 fillers crashed
+    # (str-vs-int compare) whenever a partition held both duplicated AND
+    # non-duplicated unique-side keys — the realistic corpus shape (a few
+    # duplicate ids among many unique ones).  The subset lexsort must
+    # pick the md5-minimal copy and pass unique keys through untouched.
+    import pyarrow as pa
+
+    from osm2geojson_ray.functions.joins import join_unique_np
+
+    ut = pa.table(
+        {
+            "k": pa.array([7, 7, 8, 9], pa.int64()),
+            "xml_md5": ["bbb", "aaa", "zzz", "mmm"],
+            "payload": ["seven-b", "seven-a", "eight", "nine"],
+        }
+    )
+    mt = pa.table({"k": pa.array([7, 8, 9], pa.int64()), "ref": ["x", "y", "z"]})
+    out = join_unique_np(
+        mt, ut, "k", ["ref"], ["payload"],
+        on_duplicate="first", duplicate_rank_cols=("xml_md5",),
+    ).to_pydict()
+    assert out["k"] == [7, 8, 9]
+    assert out["payload"] == ["seven-a", "eight", "nine"]  # md5-min wins for 7

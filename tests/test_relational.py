@@ -362,3 +362,32 @@ def test_empty_map_output_blocks_survive():
     labels = connected_components(pairs, verts, num_parts=4).to_pandas()
     ref = {1: 1, 2: 1, 3: 1, 7: 7}
     assert dict(zip(labels.doc_id, labels.cluster_id)) == ref
+
+
+def test_connected_components_converges_at_exactly_max_iters():
+    # review r5: a graph whose diameter equals max_iters converges in the
+    # final allowed round; the extra all-quiet confirmation round must
+    # return the (complete) labels instead of raising a false
+    # non-convergence error.
+    from osm2geojson_ray.stages.dedup import connected_components
+
+    n = 6  # chain 0-1-2-3-4-5, diameter 5
+    pairs = rd.from_arrow(pa.table({
+        "doc_a": pa.array(list(range(n - 1)), pa.int64()),
+        "doc_b": pa.array(list(range(1, n)), pa.int64()),
+    }))
+    verts = rd.from_arrow(pa.table({"doc_id": pa.array(list(range(n)), pa.int64())}))
+    stats: list = []
+    labels = connected_components(
+        pairs, verts, num_parts=4, max_iters=5, round_stats=stats
+    ).to_pandas()
+    assert set(labels.cluster_id) == {0}
+    assert stats[-1] == 0  # the confirmation round was quiet
+
+    # a genuinely-partial run still raises
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(pairs, verts, num_parts=4, max_iters=2)
+
+    # invalid on_nonconverge rejected before any exchange work
+    with pytest.raises(ValueError, match="on_nonconverge"):
+        connected_components(pairs, verts, num_parts=4, on_nonconverge="explode")

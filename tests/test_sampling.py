@@ -120,3 +120,16 @@ def test_pack_sequences_matches_pandas():
         got[["doc_id", "source", "n_tokens", "chunk_id"]], ref, check_dtype=False
     )
     assert got.chunk_id.max() > 3  # multiple chunks actually formed
+
+
+def test_hash_sample_string_keys():
+    # review r5: the output must preserve the key column's type — the
+    # old int64 hard-cast crashed on string-keyed corpora.
+    from osm2geojson_ray.stages.sampling import hash_sample
+
+    ids = [f"doc-{i:03d}" for i in range(60)]
+    t = pa.table({"uid": pa.array(ids, pa.string())})
+    got = hash_sample(rd.from_arrow(t), n=10, key="uid").to_pandas()
+    prio = {d: _md5int60(f"sample-v1:{d}") for d in ids}
+    ref = sorted(prio.items(), key=lambda kv: (kv[1], kv[0]))[:10]
+    assert list(zip(got.uid, got.priority)) == ref

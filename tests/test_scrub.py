@@ -71,3 +71,28 @@ def test_pattern_scan_separator_never_matches():
         .tolist()
     )
     assert got == [0, 0]
+
+
+def test_pattern_redact_nul_in_text():
+    # review r5: a NUL byte inside a document must not corrupt the
+    # blob's document framing (it is stripped — never legitimate text)
+    from osm2geojson_ray.stages.scrub import pattern_redact, pattern_scan
+
+    t = pa.table(
+        {"doc_id": pa.array([0, 1], pa.int64()),
+         "text": ["evil\x00scan doc", "plain sort doc"]}
+    )
+    pats = {"scan_sort": r"\b(scan|sort)\b"}
+    got = (
+        pattern_redact(rd.from_arrow(t), pats)
+        .to_pandas().set_index("doc_id")["clean_text"].tolist()
+    )
+    # NUL stripped -> "evilscan doc": no word boundary before "scan",
+    # so nothing redacts in doc 0 — but crucially the framing holds
+    # (2 rows out, no ArrowInvalid) and doc 1 is untouched by doc 0
+    assert got == ["evilscan doc", "plain <SCAN_SORT> doc"]
+    counts = (
+        pattern_scan(rd.from_arrow(t), pats)
+        .to_pandas().set_index("doc_id")["n_scan_sort"].tolist()
+    )
+    assert counts == [0, 1]

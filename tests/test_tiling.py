@@ -324,3 +324,35 @@ def test_knn_distributed_empty_point_blocks():
     tabs = raylib.get(compacted.to_arrow_refs())
     assert all(t.num_rows > 0 and "feature_id" in t.schema.names for t in tabs)
     assert sum(t.num_rows for t in tabs) == 3
+
+
+def test_knn_distributed_no_points():
+    """review r5: an ALL-empty frontier cannot be repaired by compacting
+    (no block carries a schema) — zero points must short-circuit to an
+    empty result instead of feeding zero-column blocks to the join."""
+    import ray.data as rdd
+
+    from osm2geojson_ray.stages.tiling import knn_distributed
+
+    def feat(ids, gts, coords):
+        return pa.table(
+            {
+                "feature_id": pa.array(ids, pa.string()),
+                "geom_type": pa.array(gts, pa.string()),
+                "xs": pa.array([[c[0]] for c in coords], pa.list_(pa.float64())),
+                "ys": pa.array([[c[1]] for c in coords], pa.list_(pa.float64())),
+            }
+        )
+
+    # only LineStrings -> _points_flat output is empty in every block;
+    # the identity map makes the empties zero-column
+    points = rdd.from_arrow(
+        [feat(["l1"], ["LineString"], [(0.0, 0.0)]),
+         feat(["l2"], ["LineString"], [(1.0, 1.0)])]
+    ).map_batches(lambda t: t, batch_format="pyarrow")
+    polys = rdd.from_arrow(feat(["a"], ["Polygon"], [(0.0, 0.0)]))
+    out = knn_distributed(points, polys, k=2, index_res=4, num_parts=4)
+    assert out.count() == 0
+    # (to_pandas on an empty Dataset drops columns — a Ray quirk —
+    # so assert on the Dataset schema)
+    assert out.schema().names == ["point_id", "polygon_id", "rank"]
